@@ -1,0 +1,39 @@
+"""CLI entry point (reference: meterelf/_main.py).
+
+Output format is byte-identical to the reference, including its quirk of
+printing an empty value when the reading is exactly 0.000 (`if data.value`
+treats 0.0 as falsy, _main.py:17).
+"""
+from __future__ import annotations
+
+import sys
+from typing import Sequence
+
+from . import debugging
+from .api import get_meter_values
+
+
+def main(argv: Sequence[str] = None) -> None:
+    if argv is None:
+        argv = sys.argv
+    if len(argv) < 2:
+        raise SystemExit(
+            "Usage: {} PARAMETERS_FILE [IMAGE_FILE...]".format(
+                argv[0] if argv else "meterelf"
+            )
+        )
+    params_file = argv[1]
+    filenames = argv[2:]
+
+    for data in get_meter_values(params_file, filenames):
+        print(data.filename, end="")
+        value_str = "{:07.3f}".format(data.value) if data.value else ""
+        error_str = (
+            "UNKNOWN {}".format(data.error.get_message()) if data.error
+            else "")
+        extra = " {!r}".format(data.meter_values) if debugging.DEBUG else ""
+        print(f": {value_str}{error_str}{extra}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Host-side JPEG input pipeline over the native decoder.
+
+Replaces cv2.imread (reference meterelf/_image.py:46-52) with a
+libjpeg(-turbo) C decoder (io/native/meterelf_jpeg.c) that is
+byte-compatible with the 2019 opencv wheel's decode on the whole sample
+corpus (SURVEY.md §8bis). The batch path decodes files concurrently with
+pthreads and the Python layer assembles fixed-size meter-rect crops for
+the device, so the jitted graph always sees static shapes.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .native.build import ensure_built
+from ..types import Rect
+
+MAX_W = 4096
+MAX_H = 4096
+
+_lib = None
+
+
+def _get_lib():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(ensure_built())
+        lib.mej_decode_file_opts.restype = ctypes.c_int
+        lib.mej_decode_file_opts.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mej_decode_batch.restype = None
+        lib.mej_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ulong),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+    return _lib
+
+
+def decode_file(path: str, max_w: int = MAX_W, max_h: int = MAX_H
+                ) -> Optional[np.ndarray]:
+    """Decode one JPEG to BGR uint8 [h, w, 3]; None on failure.
+
+    Uses libjpeg defaults (ISLOW DCT, fancy upsampling) — the verified
+    byte-exact match for the reference goldens."""
+    lib = _get_lib()
+    buf = np.empty(max_h * max_w * 3, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.mej_decode_file_opts(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        max_w, max_h, ctypes.byref(w), ctypes.byref(h), 0, 1, 1)
+    if rc != 0:
+        return None
+    n = h.value * w.value * 3
+    return buf[:n].reshape(h.value, w.value, 3).copy()
+
+
+def crop_rect(img: np.ndarray, rect: Rect) -> np.ndarray:
+    (x0, y0) = rect.top_left
+    (x1, y1) = rect.bottom_right
+    return img[y0:y1, x0:x1]
+
+
+def load_crops(
+    filenames: Sequence[str],
+    meter_rect: Rect,
+    batch_size: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode files and assemble [B, ch, cw, 3] u8 crops + load-ok flags.
+
+    B = batch_size (padded with zero slots) or len(filenames). A file that
+    fails to decode, or whose decoded frame doesn't cover the meter rect,
+    gets load_ok=False (the reference would raise ImageLoadingError for
+    the former; undersized frames crash the reference — we degrade
+    gracefully)."""
+    ch = meter_rect.height
+    cw = meter_rect.width
+    B = batch_size or len(filenames)
+    crops = np.zeros((B, ch, cw, 3), np.uint8)
+    ok = np.zeros(B, bool)
+    for i, fn in enumerate(filenames):
+        img = decode_file(fn)
+        if img is None:
+            continue
+        c = crop_rect(img, meter_rect)
+        if c.shape != (ch, cw, 3):
+            continue
+        crops[i] = c
+        ok[i] = True
+    return crops, ok
+
+
+def load_crops_threaded(
+    filenames: Sequence[str],
+    meter_rect: Rect,
+    batch_size: Optional[int] = None,
+    num_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded batch decode via the native worker pool (GIL-free)."""
+    lib = _get_lib()
+    n = len(filenames)
+    B = batch_size or n
+    ch, cw = meter_rect.height, meter_rect.width
+    crops = np.zeros((B, ch, cw, 3), np.uint8)
+    ok_out = np.zeros(B, bool)
+
+    datas = []
+    for fn in filenames:
+        try:
+            with open(fn, "rb") as fp:
+                datas.append(fp.read())
+        except OSError:
+            datas.append(b"")
+
+    max_w, max_h = 1024, 1024
+    out = np.zeros(n * max_h * max_w * 3, np.uint8)
+    ok = np.zeros(n, np.int32)
+    ws = np.zeros(n, np.int32)
+    hs = np.zeros(n, np.int32)
+    arr_ptrs = (ctypes.c_char_p * n)(*datas)
+    arr_sizes = (ctypes.c_ulong * n)(*[len(d) for d in datas])
+    lib.mej_decode_batch(
+        arr_ptrs, arr_sizes, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), max_w, max_h,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        0, 1, 1, num_threads)
+    stride = max_h * max_w * 3
+    for i in range(n):
+        if ok[i] != 0 or not datas[i]:
+            continue
+        w, h = int(ws[i]), int(hs[i])
+        img = out[i * stride:i * stride + h * w * 3].reshape(h, w, 3)
+        c = crop_rect(img, meter_rect)
+        if c.shape == (ch, cw, 3):
+            crops[i] = c
+            ok_out[i] = True
+    return crops, ok_out

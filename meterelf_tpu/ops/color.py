@@ -1,0 +1,86 @@
+"""Color-space ops: exact uint8 BGR -> HLS_FULL (and back) in jnp.
+
+Replicates OpenCV 3.4's float-path 8u conversion bit-for-bit (see
+SURVEY.md §8bis item 2): u8 * (1/255) -> RGB2HLS_f in float32 ->
+H*(256/360), L*255, S*255 -> saturate_cast (round-half-to-even, clamp).
+Replaces cv2.cvtColor at reference meterelf/_utils.py:100-110.
+
+All comparisons and selects are elementwise VPU work; XLA fuses the whole
+conversion into a couple of passes over the image.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+
+
+def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
+    """[..., 3] uint8 BGR -> [..., 3] int32 HLS (FULL hue range 0..255),
+    with the reference's wrapping hue shift applied
+    (meterelf/_utils.py:100-102: uint8 wraparound add on H only)."""
+    scale = _F32(1.0) / _F32(255.0)
+    b = bgr_u8[..., 0].astype(_F32) * scale
+    g = bgr_u8[..., 1].astype(_F32) * scale
+    r = bgr_u8[..., 2].astype(_F32) * scale
+
+    vmax = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    l = (vmax + vmin) * _F32(0.5)
+
+    diff = vmax - vmin
+    nonzero = vmax != vmin
+    safe = jnp.where(nonzero, diff, _F32(1.0))
+    s = jnp.where(
+        l < _F32(0.5),
+        diff / (vmax + vmin),
+        diff / (_F32(2.0) - vmax - vmin),
+    )
+    diff60 = _F32(60.0) / safe
+    h = jnp.where(
+        vmax == r,
+        (g - b) * diff60,
+        jnp.where(vmax == g, (b - r) * diff60 + _F32(120.0),
+                  (r - g) * diff60 + _F32(240.0)),
+    )
+    h = jnp.where(h < 0, h + _F32(360.0), h)
+    h = jnp.where(nonzero, h, _F32(0.0))
+    s = jnp.where(nonzero, s, _F32(0.0))
+
+    hscale = _F32(256.0) / _F32(360.0)
+    h_u8 = _saturate_u8(h * hscale)
+    l_u8 = _saturate_u8(l * _F32(255.0))
+    s_u8 = _saturate_u8(s * _F32(255.0))
+    h_u8 = (h_u8 + jnp.int32(hue_shift)) % 256  # uint8 wraparound semantics
+    return jnp.stack([h_u8, l_u8, s_u8], axis=-1)
+
+
+def _saturate_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """cv::saturate_cast<uchar>(float): round half-to-even then clamp."""
+    return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.int32)
+
+
+def hls_full_to_bgr(hls_i32: jnp.ndarray, hue_shift) -> jnp.ndarray:
+    """Inverse conversion (reference meterelf/_utils.py:105-110), used by
+    calibration/debug paths. Mirrors OpenCV's HLS2RGB float path."""
+    h_i = (hls_i32[..., 0] - jnp.int32(hue_shift)) % 256
+    h = h_i.astype(_F32) * (_F32(360.0) / _F32(256.0))
+    l = hls_i32[..., 1].astype(_F32) * (_F32(1.0) / _F32(255.0))
+    s = hls_i32[..., 2].astype(_F32) * (_F32(1.0) / _F32(255.0))
+
+    q = jnp.where(l <= _F32(0.5), l * (1 + s), l + s - l * s)
+    p = 2 * l - q
+
+    def channel(hk):
+        hk = jnp.mod(hk, _F32(360.0)) / _F32(60.0)
+        c = jnp.where(
+            hk < 1, p + (q - p) * hk,
+            jnp.where(hk < 3, q,
+                      jnp.where(hk < 4, p + (q - p) * (4 - hk), p)))
+        return c
+
+    r = channel(h + 120)
+    g = channel(h)
+    b = channel(h - 120)
+    out = jnp.stack([b, g, r], axis=-1) * _F32(255.0)
+    return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)

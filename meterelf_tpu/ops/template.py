@@ -1,0 +1,76 @@
+"""Dial-cluster localization: TM_CCOEFF template matching as a batched
+cross-correlation (reference: cv2.matchTemplate at meterelf/_utils.py:91-97).
+
+TM_CCOEFF(I, T) at offset (x, y) is sum over the window of
+(I - mean(window)) * (T - mean(T)); the window-mean term cancels because
+sum(T - mean(T)) = 0, so the score is exactly the correlation of I with
+the zero-mean template. That correlation is the FLOP hot spot of the whole
+pipeline (~372 MFLOP per image for a 188x119 template on a 250x250 crop)
+and maps straight onto the MXU via XLA's conv lowering.
+
+Tie-breaking matches cv2.minMaxLoc: first maximum in row-major scan order
+(jnp.argmax also returns the first occurrence).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def match_template_scores(
+    lightness_f32: jnp.ndarray,  # [B, H, W] f32
+    template_zm: jnp.ndarray,    # [th, tw] f32 zero-mean
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Valid cross-correlation -> [B, H-th+1, W-tw+1] f32 scores."""
+    lhs = lightness_f32[:, None, :, :]          # NCHW
+    rhs = template_zm[None, None, :, :]          # OIHW
+    out = lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=precision,
+    )
+    return out[:, 0]
+
+
+def locate(
+    scores: jnp.ndarray,  # [B, oh, ow]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (max_val [B] f32, x [B] i32, y [B] i32), first-max tie-break."""
+    B, oh, ow = scores.shape
+    flat = scores.reshape(B, oh * ow)
+    idx = jnp.argmax(flat, axis=1)
+    max_val = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    y = (idx // ow).astype(jnp.int32)
+    x = (idx % ow).astype(jnp.int32)
+    return max_val, x, y
+
+
+def crop_at(
+    img: jnp.ndarray,  # [H, W, C]
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    th: int,
+    tw: int,
+) -> jnp.ndarray:
+    """Dynamic [th, tw, C] crop at (y, x) (one image; vmap over batch)."""
+    return lax.dynamic_slice(
+        img, (y, x, jnp.zeros_like(y)), (th, tw, img.shape[2])
+    )
+
+
+def rescore_f64(
+    lightness_u8,  # [th', tw'] window at the argmax, or full image
+    template_u8,
+) -> jnp.ndarray:
+    """Exact f64 TM_CCOEFF score of one window (used for high-precision
+    reporting; note cv2's printed value is its f32-DFT result, which the
+    host-side parity fallback reproduces via cv2 when available)."""
+    t = template_u8.astype(jnp.float64)
+    tz = t - t.mean()
+    return jnp.sum(lightness_u8.astype(jnp.float64) * tz)

@@ -1,0 +1,229 @@
+"""The batched, jit-compiled decode graph: uint8 meter-rect crops in,
+per-image readings + error codes out.
+
+This is the TPU-native restructuring of the reference's per-image
+object/exception flow (meterelf/_api.py + _image.py + _reading.py):
+arrays-over-batch with error codes, no data-dependent control flow, all
+shapes static. One call decodes a whole batch; vmap supplies the batch
+and per-dial axes; XLA maps the template correlation onto the MXU and
+fuses the elementwise stages.
+
+Stages (per image):
+  1. exact BGR->HLS_FULL + wrapping hue shift        (ops/color.py)
+  2. template correlation -> argmax location + score (ops/template.py)
+  3. dial-cluster crop at the match location
+  4. per dial: color sample -> inRange -> 3x3 close -> component
+     analysis -> momentum/tip angle reductions       (ops/*.py)
+  5. carry-corrected 4-dial value                    (ops/angles.py)
+  6. error-code priority replicating the reference's raise order
+
+Precision: "exact" mode keeps the reference's float64 semantics for the
+angle statistics (all discrete decisions are integer-exact by
+construction); "fast" mode runs them in float32 for TPU speed. See
+ops/angles.py for why both modes share identical discrete behavior.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..errors import ErrCode
+from ..params import DIAL_WIN, Params, ParamArrays
+from ..ops import angles as angles_ops
+from ..ops import color as color_ops
+from ..ops import components as comp_ops
+from ..ops import morphology as morph_ops
+from ..ops import template as template_ops
+
+
+class BatchResult(NamedTuple):
+    err: jnp.ndarray              # [B] i32 ErrCode
+    first_bad_dial: jnp.ndarray   # [B] i32 (valid when err == NEEDLE_CONTOURS)
+    unreadable_bits: jnp.ndarray  # [B] i32 bitmask (valid when err == DIAL_ANGLE)
+    match_val: jnp.ndarray        # [B] f32
+    match_x: jnp.ndarray          # [B] i32
+    match_y: jnp.ndarray          # [B] i32
+    dial_pos: jnp.ndarray         # [B, D] f
+    readable: jnp.ndarray         # [B, D] bool
+    value: jnp.ndarray            # [B] f
+
+
+def _analyze_dial(
+    dials_hls: jnp.ndarray,   # [th, tw, 3] i32
+    color_range: jnp.ndarray,  # [3] i32
+    center_int: jnp.ndarray,   # [2] i32 (window coords)
+    win_origin: jnp.ndarray,   # [2] i32
+    mask_full: jnp.ndarray,    # [W, W] bool
+    disk_idx, disk_valid, disk_sx2, disk_sy2,
+    ann_idx, ann_valid, ann_x, ann_y, ann_angle, ann_sqd,
+    neg_sign, zero_turn,
+):
+    W = DIAL_WIN
+    window = lax.dynamic_slice(
+        dials_hls,
+        (win_origin[1], win_origin[0], jnp.int32(0)),
+        (W, W, 3),
+    )
+
+    # 5x5 mean color at the dial center (reference _reading.py:154-160);
+    # integer-exact rounding: round(S/25) has no ties, so floor(S/25+.5)
+    # == round-half-even == the reference's int(round(...)).
+    core = lax.dynamic_slice(
+        window,
+        (center_int[1] - 2, center_int[0] - 2, jnp.int32(0)),
+        (5, 5, 3),
+    )
+    s = jnp.sum(core, axis=(0, 1))                       # [3] i32
+    dial_color = (2 * s + 25) // 50
+
+    lo = jnp.clip(dial_color - color_range, 0, 255)
+    hi = jnp.clip(dial_color + color_range, 0, 255)
+    raw = jnp.all((window >= lo) & (window <= hi), axis=-1)
+
+    closed = morph_ops.close3(raw)
+    masked = closed & mask_full
+    comp = comp_ops.analyze(masked, closed, mask_full)
+
+    reading = angles_ops.read_dial(
+        comp.needle_region.ravel(),
+        disk_idx, disk_valid, disk_sx2, disk_sy2,
+        ann_idx, ann_valid, ann_x, ann_y, ann_angle, ann_sqd,
+        neg_sign, zero_turn,
+    )
+    return comp.has_any, reading.readable, reading.position
+
+
+def _decode_batch(
+    pa: ParamArrays,
+    crops_u8: jnp.ndarray,   # [B, ch, cw, 3] uint8 BGR
+    load_ok: jnp.ndarray,    # [B] bool
+    *,
+    conv_precision,
+) -> BatchResult:
+    th, tw = pa.template_zm.shape
+    D = pa.mask_full.shape[0]
+
+    hls = color_ops.bgr_to_hls_full(crops_u8, pa.hue_shift)  # [B,ch,cw,3] i32
+    lightness = hls[..., 1].astype(jnp.float32)
+    scores = template_ops.match_template_scores(
+        lightness, pa.template_zm, precision=conv_precision)
+    max_val, mx, my = template_ops.locate(scores)
+
+    dials = jax.vmap(
+        lambda img, x, y: template_ops.crop_at(img, x, y, th, tw)
+    )(hls, mx, my)                                           # [B,th,tw,3]
+
+    per_dial = jax.vmap(  # over batch
+        lambda d: jax.vmap(  # over dials
+            lambda i: _analyze_dial(
+                d,
+                pa.color_range[i], pa.centers_int[i], pa.win_origin[i],
+                pa.mask_full[i],
+                pa.disk_idx[i], pa.disk_valid[i],
+                pa.disk_sx2[i], pa.disk_sy2[i],
+                pa.ann_idx[i], pa.ann_valid[i],
+                pa.ann_x[i], pa.ann_y[i], pa.ann_angle[i], pa.ann_sqd[i],
+                pa.neg_sign[i], pa.zero_turn[i],
+            )
+        )(jnp.arange(D))
+    )(dials)
+    has_any, readable, positions = per_dial   # [B,D], [B,D], [B,D]
+
+    f = positions.dtype
+    if D == 4:
+        value = jax.vmap(
+            lambda p: angles_ops.assemble_value(p[pa.value_perm])
+        )(positions)
+    else:
+        value = jnp.zeros(positions.shape[0], f)
+
+    match_ok = max_val >= pa.threshold
+    no_contours = ~has_any
+    any_nc = no_contours.any(axis=1)
+    first_bad = jnp.argmax(no_contours, axis=1).astype(jnp.int32)
+    unreadable = has_any & ~readable
+    any_unr = (~readable).any(axis=1)
+    bits = jnp.sum(
+        (~readable).astype(jnp.int32) * (1 << jnp.arange(D, dtype=jnp.int32)),
+        axis=1,
+    )
+
+    err = jnp.where(
+        ~load_ok,
+        jnp.int32(ErrCode.LOAD),
+        jnp.where(
+            ~match_ok,
+            jnp.int32(ErrCode.DIALS_NOT_FOUND),
+            jnp.where(
+                any_nc,
+                jnp.int32(ErrCode.NEEDLE_CONTOURS),
+                jnp.where(
+                    any_unr,
+                    jnp.int32(ErrCode.DIAL_ANGLE),
+                    jnp.int32(ErrCode.OK),
+                ),
+            ),
+        ),
+    )
+    del unreadable  # bits carries the full mask; host renders names
+
+    return BatchResult(
+        err=err,
+        first_bad_dial=first_bad,
+        unreadable_bits=bits,
+        match_val=max_val,
+        match_x=mx,
+        match_y=my,
+        dial_pos=positions,
+        readable=readable,
+        value=value,
+    )
+
+
+class MeterDecoder:
+    """Compiled batched decoder for one camera configuration.
+
+    exact=True keeps the reference's float64 statistics (requires jax
+    x64); exact=False runs the continuous math in float32. Discrete
+    decisions are integer-exact in both modes.
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        *,
+        exact: bool = True,
+        conv_precision=lax.Precision.HIGHEST,
+    ) -> None:
+        self.params = params
+        self.exact = exact
+        pa = params.arrays()
+        if exact:
+            jax.config.update("jax_enable_x64", True)
+        else:
+            f32 = (
+                "zero_turn", "disk_sx2", "disk_sy2",
+                "ann_x", "ann_y", "ann_angle", "ann_sqd",
+            )
+            pa = pa._replace(
+                **{k: getattr(pa, k).astype(np.float32) for k in f32})
+        self.param_arrays = pa
+        self.crop_shape = (params.meter_rect.height, params.meter_rect.width, 3)
+        self._fn = jax.jit(
+            functools.partial(_decode_batch, conv_precision=conv_precision)
+        )
+
+    def __call__(self, crops_u8, load_ok=None) -> BatchResult:
+        if load_ok is None:
+            load_ok = jnp.ones(crops_u8.shape[0], bool)
+        return self._fn(self.param_arrays, crops_u8, load_ok)
+
+    def decode_numpy(self, crops_u8, load_ok=None):
+        """Decode and pull results to host numpy."""
+        res = self(crops_u8, load_ok)
+        return jax.tree.map(np.asarray, res)
