@@ -1,0 +1,107 @@
+"""Benchmark: batched dial-decode throughput on one chip.
+
+Measures the jitted decode graph on the 10k-frame streaming-replay
+workload (BASELINE.json config 5): the 304-image sample corpus is decoded
+once on the host, staged to the device, and replayed in large batches —
+the production shape for a continuous webcam pipeline, where input
+staging is double-buffered and the chip is the bottleneck.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured throughput / the 5,000 img/s/chip north-star
+target (the reference publishes no numbers of its own — BASELINE.md).
+
+Correctness is asserted inline: the replayed corpus' readings must match
+the golden outputs (the bench refuses to report a number from a wrong
+pipeline).
+"""
+import json
+import os
+import sys
+import time
+from glob import glob
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_TARGET = 5000.0  # img/s/chip, BASELINE.json north_star
+BATCH = 512
+REPLAY_FRAMES = 10240
+SAMPLE1 = "/root/reference/sample-images1"
+GOLDEN1 = "/root/reference/integration-tests/test_all_sample_images.expected_stdout"
+
+
+def main() -> None:
+    import jax
+    from meterelf_tpu.params import Params
+    from meterelf_tpu.pipeline.decode import MeterDecoder
+    from meterelf_tpu.io import jpeg as jio
+
+    if os.path.isdir(SAMPLE1):
+        params = Params.load(f"{SAMPLE1}/params.yml")
+        files = sorted(glob(f"{SAMPLE1}/*.jpg"))
+    else:  # fall back to synthetic frames if the corpus is absent
+        import tempfile
+        from meterelf_tpu import synthetic
+        params = synthetic.make_params(tempfile.mkdtemp())
+        files = []
+
+    dec = MeterDecoder(params, exact=True)
+
+    if files:
+        crops_c, ok_c = jio.load_crops(files, params.meter_rect)
+    else:
+        from meterelf_tpu import synthetic
+        crops_c = synthetic.render_crops(
+            [[(i * 1.3 + d) % 10 for d in range(4)] for i in range(64)])
+        ok_c = np.ones(64, bool)
+
+    # correctness gate on the real corpus before timing
+    if files:
+        res = dec.decode_numpy(crops_c, ok_c)
+        golden = dict(
+            l.split(": ", 1) for l in open(GOLDEN1).read().splitlines())
+        n_bad = 0
+        for i, f in enumerate(files):
+            base = os.path.basename(f)
+            if int(res.err[i]) == 0:
+                got = "{:07.3f}".format(float(res.value[i]))
+                exp = golden[base]
+                n_bad += not exp.startswith(got)
+        assert n_bad == 0, f"{n_bad} readings diverge from golden — not benching a wrong pipeline"
+
+    # build the replay set: tile corpus to REPLAY_FRAMES and stage on device
+    n = crops_c.shape[0]
+    reps = -(-REPLAY_FRAMES // n)
+    crops_all = np.tile(crops_c, (reps, 1, 1, 1))[:REPLAY_FRAMES]
+    ok_all = np.tile(ok_c, reps)[:REPLAY_FRAMES]
+    batches = [
+        (jax.device_put(crops_all[i:i + BATCH]),
+         jax.device_put(ok_all[i:i + BATCH]))
+        for i in range(0, REPLAY_FRAMES - BATCH + 1, BATCH)
+    ]
+
+    # warmup (compile)
+    out = dec(*batches[0])
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    frames = 0
+    outs = []
+    for crops, ok in batches:
+        outs.append(dec(crops, ok))
+        frames += crops.shape[0]
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+
+    value = frames / dt
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_batched_decode",
+        "value": round(value, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(value / BASELINE_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,7 @@ treats 0.0 as falsy, _main.py:17).
 """
 from __future__ import annotations
 
+import os
 import sys
 from typing import Sequence
 
@@ -24,8 +25,10 @@ def main(argv: Sequence[str] = None) -> None:
         )
     params_file = argv[1]
     filenames = argv[2:]
+    batch_size = int(os.environ.get("METERELF_BATCH_SIZE", "64"))
 
-    for data in get_meter_values(params_file, filenames):
+    for data in get_meter_values(params_file, filenames,
+                                 batch_size=batch_size):
         print(data.filename, end="")
         value_str = "{:07.3f}".format(data.value) if data.value else ""
         error_str = (

@@ -48,18 +48,22 @@ def read_dial(
     ann_sqd: jnp.ndarray,       # [Pa] f: x^2 + y^2 (reference-rounded)
     neg_sign: jnp.ndarray,      # [] i32
     zero_turn: jnp.ndarray,     # [] f: angle_of_zero / 360
+    sum_dtype=None,             # accumulation dtype (default: data dtype)
 ) -> DialReading:
     f = disk_sx2.dtype
-    sign = neg_sign.astype(f)
+    acc = jnp.dtype(sum_dtype) if sum_dtype is not None else f
 
     needle = region_flat[disk_idx] & disk_valid
-    mom_x = jnp.sum(jnp.where(needle, disk_sx2, f.type(0)))
-    mom_y = jnp.sum(jnp.where(needle, disk_sy2, f.type(0)))
+    # momentum terms are multiples of 0.01 far below 2^53: f64 sums are
+    # exact regardless of reduction order
+    mom_x = jnp.sum(jnp.where(needle, disk_sx2, f.type(0)).astype(acc))
+    mom_y = jnp.sum(jnp.where(needle, disk_sy2, f.type(0)).astype(acc))
+    sign = neg_sign.astype(acc)
     msx = sign * mom_x
     msy = sign * mom_y
 
     tip = region_flat[ann_idx] & ann_valid
-    dot = ann_x * msx + ann_y * msy
+    dot = ann_x.astype(acc) * msx + ann_y.astype(acc) * msy
     kept = tip & (dot > 0)
     n = jnp.sum(kept).astype(jnp.int32)
     readable = n > 0
@@ -79,11 +83,15 @@ def read_dial(
     cut = jnp.where(n >= 5, jnp.minimum(2, (n - 3) // 2), 0)
     pos = lax.iota(jnp.int32, key_a.shape[0])
     in_trim = (pos >= cut) & (pos < n - cut)
-    num = jnp.sum(jnp.where(in_trim, sa * sd, f.type(0)))
-    den = jnp.sum(jnp.where(in_trim, sd, f.type(0)))
-    angle = num / jnp.where(den == 0, f.type(1), den)
+    sa_acc = sa.astype(acc)
+    sd_acc = sd.astype(acc)
+    zero = jnp.zeros((), acc)
+    num = jnp.sum(jnp.where(in_trim, sa_acc * sd_acc, zero))
+    den = jnp.sum(jnp.where(in_trim, sd_acc, zero))
+    angle = num / jnp.where(den == 0, jnp.ones((), acc), den)
 
-    position = jnp.mod(f.type(10.0) * (angle - zero_turn), f.type(10.0))
+    ten = jnp.asarray(10.0, acc)
+    position = jnp.mod(ten * (angle - zero_turn.astype(acc)), ten)
     return DialReading(position=position, readable=readable)
 
 

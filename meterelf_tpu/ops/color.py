@@ -15,6 +15,19 @@ import jax.numpy as jnp
 _F32 = jnp.float32
 
 
+def _exact_f32_div(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
+    """IEEE-correctly-rounded f32 division on TPU.
+
+    TPU's native f32 divide is 1-2 ulp off on ~1/3 of uint8-derived
+    operand pairs, but its emulated f64 divide followed by a cast to f32
+    reproduces IEEE f32 division exactly — verified exhaustively over all
+    64K (vmax, vmin) uint8 pairs for every quotient this conversion
+    needs. (Double-rounding f64->f32 can differ from single rounding
+    only in a ~2^-29 relative window; none of the finitely many uint8
+    rationals fall in it.)"""
+    return (num.astype(jnp.float64) / den.astype(jnp.float64)).astype(_F32)
+
+
 def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
     """[..., 3] uint8 BGR -> [..., 3] int32 HLS (FULL hue range 0..255),
     with the reference's wrapping hue shift applied
@@ -33,10 +46,10 @@ def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
     safe = jnp.where(nonzero, diff, _F32(1.0))
     s = jnp.where(
         l < _F32(0.5),
-        diff / (vmax + vmin),
-        diff / (_F32(2.0) - vmax - vmin),
+        _exact_f32_div(diff, vmax + vmin),
+        _exact_f32_div(diff, _F32(2.0) - vmax - vmin),
     )
-    diff60 = _F32(60.0) / safe
+    diff60 = _exact_f32_div(jnp.full_like(safe, 60.0), safe)
     h = jnp.where(
         vmax == r,
         (g - b) * diff60,
@@ -53,6 +66,19 @@ def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
     s_u8 = _saturate_u8(s * _F32(255.0))
     h_u8 = (h_u8 + jnp.int32(hue_shift)) % 256  # uint8 wraparound semantics
     return jnp.stack([h_u8, l_u8, s_u8], axis=-1)
+
+
+def lightness_channel(bgr_u8: jnp.ndarray) -> jnp.ndarray:
+    """L channel only — pure IEEE add/mul/rint, no divisions. Used for
+    the template-match path where H/S are not needed."""
+    scale = _F32(1.0) / _F32(255.0)
+    b = bgr_u8[..., 0].astype(_F32) * scale
+    g = bgr_u8[..., 1].astype(_F32) * scale
+    r = bgr_u8[..., 2].astype(_F32) * scale
+    vmax = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    l = (vmax + vmin) * _F32(0.5)
+    return _saturate_u8(l * _F32(255.0))
 
 
 def _saturate_u8(x: jnp.ndarray) -> jnp.ndarray:

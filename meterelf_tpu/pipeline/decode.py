@@ -62,6 +62,7 @@ def _analyze_dial(
     disk_idx, disk_valid, disk_sx2, disk_sy2,
     ann_idx, ann_valid, ann_x, ann_y, ann_angle, ann_sqd,
     neg_sign, zero_turn,
+    sum_dtype=None,
 ):
     W = DIAL_WIN
     window = lax.dynamic_slice(
@@ -94,6 +95,7 @@ def _analyze_dial(
         disk_idx, disk_valid, disk_sx2, disk_sy2,
         ann_idx, ann_valid, ann_x, ann_y, ann_angle, ann_sqd,
         neg_sign, zero_turn,
+        sum_dtype=sum_dtype,
     )
     return comp.has_any, reading.readable, reading.position
 
@@ -104,14 +106,21 @@ def _decode_batch(
     load_ok: jnp.ndarray,    # [B] bool
     *,
     conv_precision,
+    sum_dtype=None,
 ) -> BatchResult:
     th, tw = pa.template_zm.shape
     D = pa.mask_full.shape[0]
 
     hls = color_ops.bgr_to_hls_full(crops_u8, pa.hue_shift)  # [B,ch,cw,3] i32
     lightness = hls[..., 1].astype(jnp.float32)
-    scores = template_ops.match_template_scores(
-        lightness, pa.template_zm, precision=conv_precision)
+    if conv_precision == "matmul":
+        tsum = jnp.sum(pa.template_u8.astype(jnp.int32))
+        tmean = tsum.astype(jnp.float32) / jnp.float32(th * tw)
+        scores = template_ops.match_template_scores_matmul(
+            lightness, pa.template_u8, tmean)
+    else:
+        scores = template_ops.match_template_scores(
+            lightness, pa.template_zm, precision=conv_precision)
     max_val, mx, my = template_ops.locate(scores)
 
     dials = jax.vmap(
@@ -129,6 +138,7 @@ def _decode_batch(
                 pa.ann_idx[i], pa.ann_valid[i],
                 pa.ann_x[i], pa.ann_y[i], pa.ann_angle[i], pa.ann_sqd[i],
                 pa.neg_sign[i], pa.zero_turn[i],
+                sum_dtype=sum_dtype,
             )
         )(jnp.arange(D))
     )(dials)
@@ -198,14 +208,16 @@ class MeterDecoder:
         params: Params,
         *,
         exact: bool = True,
-        conv_precision=lax.Precision.HIGHEST,
+        conv_precision="matmul",
     ) -> None:
         self.params = params
         self.exact = exact
+        # x64 is required in both modes: the angle statistics accumulate
+        # in float64 (exact reference semantics); fast mode only demotes
+        # the bulk per-pixel data to f32.
+        jax.config.update("jax_enable_x64", True)
         pa = params.arrays()
-        if exact:
-            jax.config.update("jax_enable_x64", True)
-        else:
+        if not exact:
             f32 = (
                 "zero_turn", "disk_sx2", "disk_sy2",
                 "ann_x", "ann_y", "ann_angle", "ann_sqd",
@@ -215,7 +227,11 @@ class MeterDecoder:
         self.param_arrays = pa
         self.crop_shape = (params.meter_rect.height, params.meter_rect.width, 3)
         self._fn = jax.jit(
-            functools.partial(_decode_batch, conv_precision=conv_precision)
+            functools.partial(
+                _decode_batch,
+                conv_precision=conv_precision,
+                sum_dtype=jnp.float64,
+            )
         )
 
     def __call__(self, crops_u8, load_ok=None) -> BatchResult:

@@ -1,0 +1,128 @@
+"""Synthetic camera configs and meter frames.
+
+Generates a complete Params (dial template PNG + YAML-schema dict) and
+renderable meter frames with needles at known angles, so the framework
+can be exercised — entry-point compile checks, multi-chip dry runs,
+self-validating end-to-end tests — without the reference sample corpus.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .params import Params
+from .types import Rect
+
+TEMPLATE_H = 119
+TEMPLATE_W = 188
+FRAME_H = 480
+FRAME_W = 640
+METER_RECT = Rect((50, 160), (300, 410))
+
+# dial layout mirroring the real meter's scattered arrangement
+DIAL_SPECS = [
+    ("0.0001", (37.3, 63.4), 16),
+    ("0.001", (94.0, 86.0), 15),
+    ("0.01", (135.0, 71.9), 11),
+    ("0.1", (160.9, 36.5), 12),
+]
+
+
+def make_template() -> np.ndarray:
+    """Grayscale dial-cluster template with distinctive structure (so the
+    correlation has a sharp, unambiguous peak)."""
+    rng = np.random.default_rng(1234)
+    t = np.full((TEMPLATE_H, TEMPLATE_W), 200, np.uint8)
+    t = (t + rng.integers(-20, 20, t.shape)).astype(np.uint8)
+    yy, xx = np.mgrid[:TEMPLATE_H, :TEMPLATE_W]
+    for _name, (cx, cy), diam in DIAL_SPECS:
+        r2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        ring = (r2 <= (diam + 8) ** 2) & (r2 >= (diam + 4) ** 2)
+        t[ring] = 60
+        t[r2 <= (diam // 2) ** 2] = 120
+    return t
+
+
+def params_dict(template_file: str) -> Dict:
+    return {
+        "image_glob": "*.jpg",
+        "meter_rect": {"top_left": [50, 160], "bottom_right": [300, 410]},
+        "dials_template": os.path.basename(template_file),
+        "dials_template_match_threshold": 1000000,
+        "dials_template_size": [TEMPLATE_W, TEMPLATE_H],
+        "hue_shift": 128,
+        "needle_color": {"h": 125, "l": 80, "s": 130},
+        "needle_color_range": {"h": 9, "l": 45, "s": 35},
+        "needle_data": [
+            {
+                "name": name,
+                "color_range": {"h": 15, "l": 60, "s": 80},
+                "dist_from_center": 4,
+                "circle_thickness": 10,
+                "angle_of_zero": -4.5,
+                "center": [float(cx), float(cy)],
+                "diameter": diam,
+                "negative_momentum": name == "0.001",
+            }
+            for name, (cx, cy), diam in DIAL_SPECS
+        ],
+    }
+
+
+def make_params(dir_path: str) -> Params:
+    """Write template + params into dir_path and load a Params."""
+    from PIL import Image
+
+    os.makedirs(dir_path, exist_ok=True)
+    tpath = os.path.join(dir_path, "synthetic_template.png")
+    Image.fromarray(make_template(), mode="L").save(tpath)
+    return Params(dir_path, params_dict(tpath))
+
+
+def render_frame(
+    dial_positions: List[float],
+    offset: Tuple[int, int] = (30, 40),
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Render a BGR frame: gray background, template-like dial cluster at
+    meter_rect.top_left + offset, red needles at the given positions
+    (fraction-of-dial 0..10; needle angle convention matches the
+    reference: 0 = up, clockwise)."""
+    rng = rng or np.random.default_rng(0)
+    frame = np.full((FRAME_H, FRAME_W, 3), 180, np.uint8)
+    tmpl = make_template()
+    ox = METER_RECT.top_left[0] + offset[0]
+    oy = METER_RECT.top_left[1] + offset[1]
+    frame[oy:oy + TEMPLATE_H, ox:ox + TEMPLATE_W] = tmpl[..., None]
+
+    for (name_spec, pos) in zip(DIAL_SPECS, dial_positions):
+        name, (cx, cy), diam = name_spec
+        zero_turn = -4.5 / 360.0
+        angle = pos / 10.0 + zero_turn  # invert pos = 10*(angle - zero)
+        theta = 2 * math.pi * angle
+        dx = math.sin(theta)
+        dy = -math.cos(theta)
+        # draw a thick needle from center to radius+dist+thickness
+        length = diam / 2.0 + 4 + 9
+        for t in np.linspace(0, length, 64):
+            px = cx + dx * t
+            py = cy + dy * t
+            for ddy in range(-2, 3):
+                for ddx in range(-2, 3):
+                    x, y = int(round(px + ddx)), int(round(py + ddy))
+                    if 0 <= x < TEMPLATE_W and 0 <= y < TEMPLATE_H:
+                        frame[oy + y, ox + x] = (40, 40, 200)  # BGR red
+    return frame
+
+
+def render_crops(batch_positions: List[List[float]]) -> np.ndarray:
+    """Render a batch of meter-rect crops [B, 250, 250, 3] u8."""
+    crops = []
+    for i, pos in enumerate(batch_positions):
+        f = render_frame(pos, offset=(20 + (i % 3) * 7, 30 + (i % 5) * 5))
+        (x0, y0), (x1, y1) = METER_RECT
+        crops.append(f[y0:y1, x0:x1])
+    return np.stack(crops)

@@ -1,0 +1,111 @@
+"""Kernel-level parity tests vs OpenCV semantics (the unit coverage the
+reference lacks; SURVEY.md §4 'implication for the TPU build')."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from meterelf_tpu.ops import color as color_ops
+from meterelf_tpu.ops import components as comp_ops
+from meterelf_tpu.ops import morphology as morph_ops
+from meterelf_tpu.ops import template as template_ops
+
+
+def test_hls_matches_host_reference():
+    """jnp conversion == the float-path formula (validated byte-exact
+    against the goldens end-to-end)."""
+    rng = np.random.default_rng(0)
+    bgr = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    out = np.asarray(color_ops.bgr_to_hls_full(jnp.asarray(bgr), 128))
+
+    from meterelf_tpu.api import _host_hls
+
+    expected = _host_hls(bgr, 128)
+    assert np.array_equal(out, expected.astype(np.int32))
+
+
+def test_hls_close_to_cv2():
+    """Sanity: within +-1 LSB of modern cv2 (old-cv2 float path differs
+    from modern cv2 by design)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(1)
+    bgr = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    ours = np.asarray(color_ops.bgr_to_hls_full(jnp.asarray(bgr), 0))
+    cvs = cv2.cvtColor(bgr, cv2.COLOR_BGR2HLS_FULL).astype(np.int32)
+    assert np.abs(ours - cvs).max() <= 1
+
+
+def test_morphology_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(2)
+    m = (rng.random((40, 52)) < 0.35)
+    k = np.ones((3, 3), np.uint8)
+    d_cv = cv2.dilate(m.astype(np.uint8) * 255, k) > 0
+    e_cv = cv2.erode(m.astype(np.uint8) * 255, k) > 0
+    assert np.array_equal(np.asarray(morph_ops.dilate3(jnp.asarray(m))), d_cv)
+    assert np.array_equal(np.asarray(morph_ops.erode3(jnp.asarray(m))), e_cv)
+
+
+def test_template_locate_first_max_tiebreak():
+    scores = jnp.zeros((1, 5, 7)).at[0, 2, 3].set(9.0).at[0, 4, 1].set(9.0)
+    mv, x, y = template_ops.locate(scores)
+    assert float(mv[0]) == 9.0
+    assert (int(x[0]), int(y[0])) == (3, 2)  # first in row-major order
+
+
+def test_matmul_scorer_matches_conv_scorer():
+    rng = np.random.default_rng(3)
+    L = rng.integers(0, 256, (2, 150, 160)).astype(np.float32)
+    T = rng.integers(0, 256, (40, 60)).astype(np.uint8)
+    tz = (T.astype(np.float64) - T.astype(np.float64).mean()).astype(np.float32)
+    s_conv = np.asarray(template_ops.match_template_scores(
+        jnp.asarray(L), jnp.asarray(tz)))
+    s_mm = np.asarray(template_ops.match_template_scores_matmul(
+        jnp.asarray(L), jnp.asarray(T), float(T.mean())))
+    assert s_conv.shape == s_mm.shape == (2, 111, 101)
+    rel = np.abs(s_conv - s_mm).max() / max(1.0, np.abs(s_conv).max())
+    assert rel < 1e-4
+    assert (s_conv.reshape(2, -1).argmax(1) == s_mm.reshape(2, -1).argmax(1)).all()
+
+
+def _cv2_needle_region(masked, closed):
+    """Reference semantics via cv2 (the oracle)."""
+    import cv2
+
+    contours, _ = cv2.findContours(
+        masked.astype(np.uint8) * 255, cv2.RETR_EXTERNAL,
+        cv2.CHAIN_APPROX_NONE)
+    if not contours:
+        return None
+    contour = sorted(contours, key=cv2.contourArea)[-1]
+    if cv2.contourArea(contour) > 100:
+        out = np.zeros_like(masked, np.uint8)
+        cv2.drawContours(out, [contour], -1, 255, -1)
+        return out > 0
+    return closed
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_components_match_cv2_on_random_blobs(seed):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(seed)
+    W = 64
+    # synthesize blobby masks: a few filled ellipses + speckle, inside a disk
+    yy, xx = np.mgrid[:W, :W]
+    disk = (yy - 32) ** 2 + (xx - 32) ** 2 <= 23 ** 2
+    closed = np.zeros((W, W), bool)
+    for _ in range(rng.integers(1, 4)):
+        cy, cx = rng.integers(16, 48, 2)
+        a, b = rng.integers(3, 14, 2)
+        closed |= ((yy - cy) / a) ** 2 + ((xx - cx) / b) ** 2 <= 1.0
+    closed |= rng.random((W, W)) < 0.02
+    masked = closed & disk
+
+    expected = _cv2_needle_region(masked, closed)
+    res = comp_ops.analyze(
+        jnp.asarray(masked), jnp.asarray(closed), jnp.asarray(disk))
+    assert bool(res.has_any) == bool(masked.any())
+    if expected is None:
+        return
+    got = np.asarray(res.needle_region)
+    assert np.array_equal(got, expected), f"seed {seed}"
