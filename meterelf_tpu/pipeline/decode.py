@@ -51,6 +51,7 @@ class BatchResult(NamedTuple):
     dial_pos: jnp.ndarray         # [B, D] f
     readable: jnp.ndarray         # [B, D] bool
     value: jnp.ndarray            # [B] f
+    converged: jnp.ndarray        # [B] bool: CCL propagation fixpoint check
 
 
 def _analyze_dial(
@@ -97,7 +98,7 @@ def _analyze_dial(
         neg_sign, zero_turn,
         sum_dtype=sum_dtype,
     )
-    return comp.has_any, reading.readable, reading.position
+    return comp.has_any, reading.readable, reading.position, comp.converged
 
 
 def _decode_batch(
@@ -142,7 +143,7 @@ def _decode_batch(
             )
         )(jnp.arange(D))
     )(dials)
-    has_any, readable, positions = per_dial   # [B,D], [B,D], [B,D]
+    has_any, readable, positions, conv = per_dial  # each [B, D]
 
     f = positions.dtype
     if D == 4:
@@ -192,6 +193,7 @@ def _decode_batch(
         dial_pos=positions,
         readable=readable,
         value=value,
+        converged=conv.all(axis=1),
     )
 
 
