@@ -68,26 +68,27 @@ def read_dial(
     n = jnp.sum(kept).astype(jnp.int32)
     readable = n > 0
 
+    # The annulus slots are statically ordered by (angle, sqdist), so the
+    # reference's sorted(angles_and_sqdists_r) (_reading.py:89) — sorting
+    # angles rebased by -1 when >= 0.75 turn above the minimum — is just
+    # a cyclic rotation of the kept slots: the "tail" (rebased) block
+    # wraps to the front. No runtime sort needed.
     inf = f.type(jnp.inf)
-    ang = jnp.where(kept, ann_angle, inf)
-    min_angle = jnp.min(ang)
-    rebased = jnp.where(
-        jnp.abs(ann_angle - min_angle) < f.type(0.75),
-        ann_angle,
-        ann_angle - f.type(1.0),
-    )
-    key_a = jnp.where(kept, rebased, inf)
-    key_d = jnp.where(kept, ann_sqd, inf)
-    sa, sd = lax.sort((key_a, key_d), num_keys=2)
+    min_angle = jnp.min(jnp.where(kept, ann_angle, inf))
+    # exact reference predicate: abs(a - min) < 0.75 keeps a; else a-1
+    is_tail = kept & ~(jnp.abs(ann_angle - min_angle) < f.type(0.75))
+    k_tail = jnp.sum(is_tail).astype(jnp.int32)
+
+    rank = (jnp.cumsum(kept.astype(jnp.int32)) - 1)  # rank among kept
+    pos = jnp.where(is_tail, rank - (n - k_tail), rank + k_tail)
 
     cut = jnp.where(n >= 5, jnp.minimum(2, (n - 3) // 2), 0)
-    pos = lax.iota(jnp.int32, key_a.shape[0])
-    in_trim = (pos >= cut) & (pos < n - cut)
-    sa_acc = sa.astype(acc)
-    sd_acc = sd.astype(acc)
-    zero = jnp.zeros((), acc)
-    num = jnp.sum(jnp.where(in_trim, sa_acc * sd_acc, zero))
-    den = jnp.sum(jnp.where(in_trim, sd_acc, zero))
+    in_trim = kept & (pos >= cut) & (pos < n - cut)
+
+    rebased = jnp.where(is_tail, ann_angle - f.type(1.0), ann_angle)
+    w = jnp.where(in_trim, ann_sqd, f.type(0)).astype(acc)
+    num = jnp.sum(rebased.astype(acc) * w)
+    den = jnp.sum(w)
     angle = num / jnp.where(den == 0, jnp.ones((), acc), den)
 
     ten = jnp.asarray(10.0, acc)

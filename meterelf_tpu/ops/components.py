@@ -40,7 +40,7 @@ from jax import lax
 # out-of-corpus shapes that need more iterations are detected, not
 # silently mislabeled.
 K_LABEL_HYBRID = 8
-K_OUTSIDE = 36
+K_OUTSIDE_HYBRID = 6
 K_FILL = 12
 
 
@@ -59,6 +59,20 @@ def _seg_scan_min(vals: jnp.ndarray, wall: jnp.ndarray, axis: int,
         av, aw = a
         bv, bw = b
         return (jnp.where(bw, bv, jnp.minimum(av, bv)), aw | bw)
+
+    v, _ = lax.associative_scan(
+        combine, (vals, wall), axis=axis % vals.ndim, reverse=reverse)
+    return v
+
+
+def _seg_scan_or(vals: jnp.ndarray, wall: jnp.ndarray, axis: int,
+                 reverse: bool) -> jnp.ndarray:
+    """Segmented cumulative OR along an axis (resets at walls)."""
+
+    def combine(a, b):
+        av, aw = a
+        bv, bw = b
+        return (jnp.where(bw, bv, av | bv), aw | bw)
 
     v, _ = lax.associative_scan(
         combine, (vals, wall), axis=axis % vals.ndim, reverse=reverse)
@@ -127,11 +141,18 @@ def analyze(
     # ---- outside background (bg 4-connected to beyond the dial disk) ----
     bg = ~masked
     outside0 = bg & ~disk
+    bg_wall = masked
 
-    def out_step(_, out):
-        return out | (bg & _any4(out))
+    def out_pass(out):
+        out = out | (bg & _any4(out))
+        out = _seg_scan_or(out, bg_wall, axis=-1, reverse=False)
+        out = _seg_scan_or(out, bg_wall, axis=-1, reverse=True)
+        out = _seg_scan_or(out, bg_wall, axis=-2, reverse=False)
+        out = _seg_scan_or(out, bg_wall, axis=-2, reverse=True)
+        return out & bg
 
-    outside = lax.fori_loop(0, K_OUTSIDE, out_step, outside0)
+    outside = lax.fori_loop(
+        0, K_OUTSIDE_HYBRID, lambda _, o: out_pass(o), outside0)
     outside_conv = jnp.all((outside | (bg & _any4(outside))) == outside)
     enclosed = bg & ~outside
     support = masked | enclosed

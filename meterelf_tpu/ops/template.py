@@ -70,20 +70,27 @@ def match_template_scores_matmul(
          jnp.ones((1, tw), dtype)], axis=0)          # [th+1, tw]
 
     def scores_chunk(Lc):
-        Ld = Lc.astype(dtype)
-        # x-unfold: Wt[b, c, y', x] = L[b, y', x+c]
-        Wt = jnp.stack([Ld[:, :, c:c + ow] for c in range(tw)], axis=1)
-        R = jnp.einsum("rk,bkyx->bryx", T_aug, Wt,
-                       preferred_element_type=jnp.float32)  # [b,th+1,H,ow]
-        corr = sum(lax.slice_in_dim(R[:, r], r, r + oh, axis=1)
+        b = Lc.shape[0]
+        # 1D valid conv along x, one output channel per template row (plus
+        # the box-sum channel): R[(b,y'), r, x] = sum_c T_aug[r,c]*L[y',x+c]
+        # — XLA lowers this to a well-tiled implicit GEMM, unlike the
+        # equivalent 2D conv (no im2col buffer is ever materialized).
+        lhs = Lc.reshape(b * H, 1, W).astype(dtype)
+        rhs = T_aug[:, None, :]                       # [th+1, 1, tw] OIW
+        R = lax.conv_general_dilated(
+            lhs, rhs, (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, H, th + 1, ow)
+        # diagonal sums over template rows (XLA fuses into one pass)
+        corr = sum(lax.slice_in_dim(R, r, r + oh, axis=1)[:, :, r]
                    for r in range(th))
-        box = sum(lax.slice_in_dim(R[:, th], r, r + oh, axis=1)
+        box = sum(lax.slice_in_dim(R, r, r + oh, axis=1)[:, :, th]
                   for r in range(th))
         return corr - jnp.float32(template_mean) * box
 
-    # the x-unfold materializes tw copies of the image (~12 MB/image in
-    # f32): chunk the batch so peak HBM liveness stays bounded
-    CHUNK = 64
+    # R is ~7.7 MB/image in f32: chunk the batch to bound HBM liveness
+    CHUNK = 128
     if B <= CHUNK:
         return scores_chunk(lightness_f32)
     pad = (-B) % CHUNK

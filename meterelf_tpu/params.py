@@ -410,19 +410,26 @@ def build_param_arrays(params: Params) -> ParamArrays:
             disk_sy2[i, j] = (-1 if y < 0 else 1) * y ** 2
 
         ays, axs = np.nonzero(mask_circle[i])
-        for j, (wy_, wx_) in enumerate(zip(ays, axs)):
+        slots = []
+        for (wy_, wx_) in zip(ays, axs):
             px, py = wx_ + ox, wy_ + oy
             x = px - cx
             y = py - cy
             ang = angle_by_vector(x, y)
             if ang is None:
                 raise LoadError(f"Dial {name}: annulus pixel at center")
-            ann_idx[i, j] = wy_ * win + wx_
+            slots.append((ang, x ** 2 + y ** 2, x, y, wy_ * win + wx_))
+        # slots ordered by (angle, sqdist): the reference's tuple sort
+        # (_reading.py:89) becomes a cyclic rotation of this static order,
+        # so the device needs no runtime sort (ops/angles.py)
+        slots.sort(key=lambda t: (t[0], t[1]))
+        for j, (ang, sqd, x, y, flat) in enumerate(slots):
+            ann_idx[i, j] = flat
             ann_valid[i, j] = True
             ann_x[i, j] = x
             ann_y[i, j] = y
             ann_angle[i, j] = ang
-            ann_sqd[i, j] = x ** 2 + y ** 2
+            ann_sqd[i, j] = sqd
 
     value_perm = np.argsort(np.array(names)).astype(np.int32)
 
