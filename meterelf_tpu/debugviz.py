@@ -1,0 +1,86 @@
+"""Headless debug visualization: annotated overlay PNGs.
+
+The reference's DEBUG mode pops cv2.imshow windows with contour/momentum
+overlays (meterelf/_reading.py:43-78); in a TPU/server context those
+become files. `render_debug_overlay` re-derives the per-dial masks for
+one frame on the host (numpy twins of the device ops) and writes an
+upscaled annotated PNG.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .api import _host_hls
+from .io import jpeg as jio
+from .params import DIAL_WIN, Params
+
+
+def _pool3(a: np.ndarray, fn, pad_value) -> np.ndarray:
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    p = np.pad(a, 1, constant_values=pad_value)
+    return fn(sliding_window_view(p, (3, 3)), axis=(2, 3))
+
+
+def _np_match(L: np.ndarray, template_u8: np.ndarray):
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    t = template_u8.astype(np.float64)
+    tz = t - t.mean()
+    win = sliding_window_view(L.astype(np.float64), t.shape)
+    scores = np.tensordot(win, tz, axes=([2, 3], [0, 1]))
+    i = int(np.argmax(scores))
+    y, x = divmod(i, scores.shape[1])
+    return scores[y, x], x, y
+
+
+def render_overlay(
+    filename: str,
+    params: Params,
+    out_dir: str,
+    scale: int = 4,
+) -> Optional[str]:
+    from PIL import Image
+
+    pa = params.arrays()
+    img = jio.decode_file(filename)
+    if img is None:
+        return None
+    crop = jio.crop_rect(img, params.meter_rect)
+    if crop.shape[:2] != (params.meter_rect.height, params.meter_rect.width):
+        return None
+    hls = _host_hls(crop, params.hue_shift).astype(np.int32)
+    _mv, mx, my = _np_match(hls[:, :, 1].astype(np.uint8), pa.template_u8)
+    th, tw = pa.template_u8.shape
+    dials = hls[my:my + th, mx:mx + tw]
+
+    canvas = np.stack([dials[:, :, 1]] * 3, axis=-1).astype(np.uint8)
+    W = DIAL_WIN
+    for d in range(pa.mask_full.shape[0]):
+        ox, oy = (int(v) for v in pa.win_origin[d])
+        win = dials[oy:oy + W, ox:ox + W]
+        cx, cy = (int(v) for v in pa.centers_int[d])
+        core = win[cy - 2:cy + 3, cx - 2:cx + 3].reshape(-1, 3)
+        color = (2 * core.sum(axis=0) + 25) // 50
+        lo = np.clip(color - pa.color_range[d], 0, 255)
+        hi = np.clip(color + pa.color_range[d], 0, 255)
+        raw = ((win >= lo) & (win <= hi)).all(axis=-1)
+        closed = _pool3(_pool3(raw, np.max, False), np.min, True)
+        masked = closed & pa.mask_full[d]
+        tips = closed & pa.mask_circle[d]
+
+        view = canvas[oy:oy + W, ox:ox + W]
+        view[raw] = (255, 160, 40)
+        view[masked] = (220, 40, 40)
+        view[tips] = (255, 40, 255)
+        view[cy, cx] = (40, 255, 255)
+
+    big = np.kron(canvas, np.ones((scale, scale, 1), np.uint8))
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(
+        out_dir, os.path.basename(filename).rsplit(".", 1)[0] + "_debug.png")
+    Image.fromarray(big).save(out_path)
+    return out_path

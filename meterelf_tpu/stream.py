@@ -1,0 +1,175 @@
+"""Streaming decode: continuous webcam-replay pipeline with rolling
+value / flow / leak reporting (BASELINE.json config 5).
+
+The reference has no streaming mode (it is a one-shot CLI); this is the
+TPU-native deployment shape: frames arrive in batches, the device graph
+is dispatched asynchronously (JAX dispatch returns before execution, so
+batch k+1's host work overlaps batch k's device work — double
+buffering), and per-window statistics are reduced on the host from the
+per-image readings.
+
+Value semantics: readings are liters mod 1000 (4 dials); the stream
+unwraps rollovers to a cumulative volume and estimates flow over a
+sliding window. A sustained minimum flow across the whole window raises
+the leak flag (no zero-flow interval — the classic water-leak heuristic).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .errors import ErrCode
+from .params import Params
+from .pipeline.decode import MeterDecoder
+
+
+@dataclass
+class StreamReport:
+    """Rolling statistics emitted once per decoded batch."""
+
+    frames_total: int
+    frames_ok: int
+    frames_error: int
+    last_value: Optional[float]          # liters (mod 1000)
+    cumulative_liters: float             # unwrapped volume since start
+    flow_lph: Optional[float]            # liters/hour over the window
+    leak_suspected: bool
+    images_per_sec: float
+
+
+@dataclass
+class _StreamState:
+    frames_total: int = 0
+    frames_ok: int = 0
+    frames_error: int = 0
+    last_value: Optional[float] = None
+    cumulative: float = 0.0
+    window: List[Tuple[float, float]] = field(default_factory=list)  # (t, cum)
+
+
+def _unwrap_delta(prev: float, new: float) -> float:
+    """Meter wraps at 1000 liters; consumption is non-negative and small
+    between frames, so interpret backward jumps > 900 as rollover (the
+    same fixup the reference's tests apply, tests/test_meterelf.py:83-84)."""
+    delta = new - prev
+    if delta < -900.0:
+        delta += 1000.0
+    return max(delta, 0.0)
+
+
+def stream_decode(
+    params: Params,
+    frames: Iterable[Tuple[str, np.ndarray]],
+    *,
+    decoder: Optional[MeterDecoder] = None,
+    batch_size: int = 256,
+    window_seconds: float = 600.0,
+    leak_min_flow_lph: float = 0.5,
+    timestamps: Optional[Iterable[float]] = None,
+) -> Iterator[StreamReport]:
+    """Decode a stream of (name, meter-rect crop u8) pairs in batches.
+
+    Yields a StreamReport per batch. Dispatch is pipelined: batch k+1 is
+    enqueued before batch k's results are pulled to the host.
+    """
+    dec = decoder or MeterDecoder(params, exact=True)
+    state = _StreamState()
+    t_start = time.time()
+
+    def batches():
+        buf_names: List[str] = []
+        buf_crops: List[np.ndarray] = []
+        for name, crop in frames:
+            buf_names.append(name)
+            buf_crops.append(crop)
+            if len(buf_names) == batch_size:
+                yield buf_names, np.stack(buf_crops)
+                buf_names, buf_crops = [], []
+        if buf_names:
+            pad = batch_size - len(buf_names)
+            crops = np.stack(buf_crops)
+            if pad:
+                crops = np.concatenate(
+                    [crops, np.zeros((pad,) + crops.shape[1:], crops.dtype)])
+            yield buf_names, crops
+
+    pending = None  # (names, device result)
+    ts_iter = iter(timestamps) if timestamps is not None else None
+
+    def drain(names, res) -> StreamReport:
+        err = np.asarray(res.err)[: len(names)]
+        values = np.asarray(res.value)[: len(names)]
+        now = time.time()
+        for i in range(len(names)):
+            state.frames_total += 1
+            t = next(ts_iter) if ts_iter is not None else now
+            if err[i] == ErrCode.OK:
+                state.frames_ok += 1
+                v = float(values[i])
+                if state.last_value is not None:
+                    state.cumulative += _unwrap_delta(state.last_value, v)
+                state.last_value = v
+                state.window.append((t, state.cumulative))
+            else:
+                state.frames_error += 1
+        cutoff = (state.window[-1][0] - window_seconds) if state.window else 0
+        while len(state.window) > 2 and state.window[0][0] < cutoff:
+            state.window.pop(0)
+
+        flow = None
+        leak = False
+        if len(state.window) >= 2:
+            (t0, c0), (t1, c1) = state.window[0], state.window[-1]
+            if t1 > t0:
+                flow = (c1 - c0) * 3600.0 / (t1 - t0)
+                # leak heuristic: every sub-interval in the window shows
+                # consumption (never a zero-flow pause)
+                cums = [c for (_t, c) in state.window]
+                min_step = min(
+                    b - a for a, b in zip(cums[:-1], cums[1:])
+                ) if len(cums) > 1 else 0.0
+                leak = flow >= leak_min_flow_lph and min_step > 0.0
+        elapsed = max(now - t_start, 1e-9)
+        return StreamReport(
+            frames_total=state.frames_total,
+            frames_ok=state.frames_ok,
+            frames_error=state.frames_error,
+            last_value=state.last_value,
+            cumulative_liters=state.cumulative,
+            flow_lph=flow,
+            leak_suspected=leak,
+            images_per_sec=state.frames_total / elapsed,
+        )
+
+    for names, crops in batches():
+        res = dec(crops)  # async dispatch: device starts while host loops
+        if pending is not None:
+            yield drain(*pending)
+        pending = (names, res)
+    if pending is not None:
+        yield drain(*pending)
+
+
+def replay_files(
+    params: Params,
+    filenames: Sequence[str],
+    repeat: int = 1,
+) -> Iterator[Tuple[str, np.ndarray]]:
+    """Frame source that decodes JPEG files (optionally cycling them) —
+    the 10k-frame continuous replay workload."""
+    from .io import jpeg as jio
+
+    decoded = []
+    for fn in filenames:
+        img = jio.decode_file(fn)
+        if img is None:
+            continue
+        crop = jio.crop_rect(img, params.meter_rect)
+        if crop.shape == (params.meter_rect.height, params.meter_rect.width, 3):
+            decoded.append((fn, crop))
+    for r in range(repeat):
+        for fn, crop in decoded:
+            yield fn, crop
