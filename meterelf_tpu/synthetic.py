@@ -86,6 +86,7 @@ def render_frame(
     dial_positions: List[float],
     offset: Tuple[int, int] = (30, 40),
     rng: Optional[np.random.Generator] = None,
+    stub_dials: Tuple[int, ...] = (),
 ) -> np.ndarray:
     """Render a BGR frame: gray background, template-like dial cluster at
     meter_rect.top_left + offset, red needles at the given positions
@@ -98,23 +99,41 @@ def render_frame(
     oy = METER_RECT.top_left[1] + offset[1]
     frame[oy:oy + TEMPLATE_H, ox:ox + TEMPLATE_W] = tmpl[..., None]
 
-    for (name_spec, pos) in zip(DIAL_SPECS, dial_positions):
+    for di, (name_spec, pos) in enumerate(zip(DIAL_SPECS, dial_positions)):
         name, (cx, cy), diam = name_spec
+        negative = name == "0.001"
         zero_turn = -4.5 / 360.0
         angle = pos / 10.0 + zero_turn  # invert pos = 10*(angle - zero)
         theta = 2 * math.pi * angle
         dx = math.sin(theta)
         dy = -math.cos(theta)
-        # draw a thick needle from center to radius+dist+thickness
-        length = diam / 2.0 + 4 + 9
-        for t in np.linspace(0, length, 64):
-            px = cx + dx * t
-            py = cy + dy * t
-            for ddy in range(-2, 3):
-                for ddx in range(-2, 3):
+        tip_len = diam / 2.0 + 4 + 9
+
+        def paint(px, py, rad):
+            for ddy in range(-rad, rad + 1):
+                for ddx in range(-rad, rad + 1):
                     x, y = int(round(px + ddx)), int(round(py + ddy))
                     if 0 <= x < TEMPLATE_W and 0 <= y < TEMPLATE_H:
                         frame[oy + y, ox + x] = (40, 40, 200)  # BGR red
+
+        if di in stub_dials:
+            # a needle stub that never reaches the tip annulus: the dial
+            # becomes unreadable (no tip pixels survive the filter)
+            paint(cx, cy, 2)
+            continue
+        if negative:
+            # counterweighted needle (negative_momentum geometry): a fat
+            # mass on the tail side dominates the distance^2 momentum,
+            # while a thin connected spur pokes just into the annulus on
+            # the tip side
+            r0 = diam // 2 + 4
+            for t in np.linspace(0, r0 - 2, 24):
+                paint(cx - dx * t, cy - dy * t, 5)
+            for t in np.linspace(0, r0 + 3, 48):
+                paint(cx + dx * t, cy + dy * t, 1)
+        else:
+            for t in np.linspace(0, tip_len, 64):
+                paint(cx + dx * t, cy + dy * t, 2)
     return frame
 
 
