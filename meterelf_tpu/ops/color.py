@@ -65,7 +65,7 @@ def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
     l_u8 = _saturate_u8(l * _F32(255.0))
     s_u8 = _saturate_u8(s * _F32(255.0))
     h_u8 = (h_u8 + jnp.int32(hue_shift)) % 256  # uint8 wraparound semantics
-    return jnp.stack([h_u8, l_u8, s_u8], axis=-1)
+    return jnp.stack([h_u8, l_u8, s_u8], axis=-1).astype(jnp.uint8)
 
 
 def lightness_channel(bgr_u8: jnp.ndarray) -> jnp.ndarray:
@@ -82,31 +82,49 @@ def lightness_channel(bgr_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def _saturate_u8(x: jnp.ndarray) -> jnp.ndarray:
-    """cv::saturate_cast<uchar>(float): round half-to-even then clamp."""
+    """cv::saturate_cast<uchar>(float): round half-to-even then clamp.
+    Kept as int32 internally; callers cast the packed result to uint8."""
     return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.int32)
 
 
 def hls_full_to_bgr(hls_i32: jnp.ndarray, hue_shift) -> jnp.ndarray:
     """Inverse conversion (reference meterelf/_utils.py:105-110), used by
-    calibration/debug paths. Mirrors OpenCV's HLS2RGB float path."""
+    calibration/debug paths. Mirrors OpenCV's sector-table HLS2RGB float
+    algorithm (sector = floor(h/60), channels picked from
+    {p2, p1, falling, rising} per sector)."""
     h_i = (hls_i32[..., 0] - jnp.int32(hue_shift)) % 256
-    h = h_i.astype(_F32) * (_F32(360.0) / _F32(256.0))
+    h = h_i.astype(_F32) * (_F32(6.0) / _F32(256.0))  # sector units
     l = hls_i32[..., 1].astype(_F32) * (_F32(1.0) / _F32(255.0))
     s = hls_i32[..., 2].astype(_F32) * (_F32(1.0) / _F32(255.0))
 
-    q = jnp.where(l <= _F32(0.5), l * (1 + s), l + s - l * s)
-    p = 2 * l - q
+    p2 = jnp.where(l <= _F32(0.5), l * (1 + s), l + s - l * s)
+    p1 = 2 * l - p2
+    sector = jnp.clip(jnp.floor(h), 0, 5).astype(jnp.int32)
+    frac = h - sector.astype(_F32)
 
-    def channel(hk):
-        hk = jnp.mod(hk, _F32(360.0)) / _F32(60.0)
-        c = jnp.where(
-            hk < 1, p + (q - p) * hk,
-            jnp.where(hk < 3, q,
-                      jnp.where(hk < 4, p + (q - p) * (4 - hk), p)))
-        return c
+    tab0 = p2
+    tab1 = p1
+    tab2 = p1 + (p2 - p1) * (1 - frac)
+    tab3 = p1 + (p2 - p1) * frac
 
-    r = channel(h + 120)
-    g = channel(h)
-    b = channel(h - 120)
+    # per-sector channel sources (OpenCV's sector_data): index into tab
+    sector_data = jnp.asarray(
+        [[1, 3, 0], [1, 0, 2], [3, 0, 1], [0, 2, 1], [0, 1, 3], [2, 1, 0]],
+        jnp.int32)  # rows: sector; cols: (b, g, r)
+
+    def pick(tab_idx):
+        return jnp.where(
+            tab_idx == 0, tab0,
+            jnp.where(tab_idx == 1, tab1,
+                      jnp.where(tab_idx == 2, tab2, tab3)))
+
+    idx = sector_data[sector]           # [..., 3]
+    b = pick(idx[..., 0])
+    g = pick(idx[..., 1])
+    r = pick(idx[..., 2])
+    gray = s == 0
+    b = jnp.where(gray, l, b)
+    g = jnp.where(gray, l, g)
+    r = jnp.where(gray, l, r)
     out = jnp.stack([b, g, r], axis=-1) * _F32(255.0)
     return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)

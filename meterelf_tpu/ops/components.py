@@ -39,9 +39,9 @@ from jax import lax
 # reports a convergence bit (one extra step changes nothing) so
 # out-of-corpus shapes that need more iterations are detected, not
 # silently mislabeled.
-K_LABEL_HYBRID = 8
-K_OUTSIDE_HYBRID = 6
-K_FILL = 12
+K_LABEL_HYBRID = 7
+K_OUTSIDE_HYBRID = 4
+K_FILL = 8
 
 
 class ComponentResult(NamedTuple):
@@ -50,33 +50,46 @@ class ComponentResult(NamedTuple):
     converged: jnp.ndarray      # [] bool: all propagations reached fixpoint
 
 
+_SEG_BASE = 8192  # > any window label value (W*W + 1)
+
+
 def _seg_scan_min(vals: jnp.ndarray, wall: jnp.ndarray, axis: int,
                   reverse: bool) -> jnp.ndarray:
-    """Segmented cummin along an axis: the running min resets at wall
-    positions (standard segmented-scan monoid, associative)."""
+    """Segmented cummin along an axis (running min resets at walls).
 
-    def combine(a, b):
-        av, aw = a
-        bv, bw = b
-        return (jnp.where(bw, bv, jnp.minimum(av, bv)), aw | bw)
-
-    v, _ = lax.associative_scan(
-        combine, (vals, wall), axis=axis % vals.ndim, reverse=reverse)
-    return v
+    Implemented with one plain cummax via a monotone-offset transform:
+    v' = run_id*BASE + (BASE-1-v). Later runs have strictly larger
+    offsets, so a global cummax never leaks values across run
+    boundaries, and within a run max(BASE-1-v) recovers min(v). One
+    native cumsum + cummax — much cheaper than a tuple associative_scan."""
+    axis = axis % vals.ndim
+    if reverse:
+        vals = jnp.flip(vals, axis)
+        wall = jnp.flip(wall, axis)
+    rid = jnp.cumsum(wall.astype(jnp.int32), axis=axis)
+    vp = rid * _SEG_BASE + (_SEG_BASE - 1 - vals)
+    m = lax.cummax(vp, axis=axis)
+    out = (_SEG_BASE - 1) - (m - rid * _SEG_BASE)
+    if reverse:
+        out = jnp.flip(out, axis)
+    return out
 
 
 def _seg_scan_or(vals: jnp.ndarray, wall: jnp.ndarray, axis: int,
                  reverse: bool) -> jnp.ndarray:
-    """Segmented cumulative OR along an axis (resets at walls)."""
-
-    def combine(a, b):
-        av, aw = a
-        bv, bw = b
-        return (jnp.where(bw, bv, av | bv), aw | bw)
-
-    v, _ = lax.associative_scan(
-        combine, (vals, wall), axis=axis % vals.ndim, reverse=reverse)
-    return v
+    """Segmented cumulative OR along an axis (resets at walls); same
+    monotone-offset cummax trick with 0/1 payloads."""
+    axis = axis % vals.ndim
+    if reverse:
+        vals = jnp.flip(vals, axis)
+        wall = jnp.flip(wall, axis)
+    rid = jnp.cumsum(wall.astype(jnp.int32), axis=axis)
+    vp = rid * 2 + vals.astype(jnp.int32)
+    m = lax.cummax(vp, axis=axis)
+    out = (m - rid * 2) > 0
+    if reverse:
+        out = jnp.flip(out, axis)
+    return out
 
 
 def _min3x3(x: jnp.ndarray, big: int) -> jnp.ndarray:

@@ -33,10 +33,11 @@ def data_parallel_decoder(decoder, mesh: Mesh, axis: str = "data"):
     batch_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
 
+    prec = "pallas" if mesh.devices.flat[0].platform == "tpu" else "matmul"
     fn = jax.jit(
         functools.partial(
             _decode_batch,
-            conv_precision="matmul",
+            conv_precision=prec,
             sum_dtype=jax.numpy.float64,
         ),
         in_shardings=(replicated, batch_sharding, batch_sharding),

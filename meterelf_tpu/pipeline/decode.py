@@ -55,22 +55,25 @@ class BatchResult(NamedTuple):
 
 
 def _analyze_dial(
-    dials_hls: jnp.ndarray,   # [th, tw, 3] i32
+    dials_bgr: jnp.ndarray,   # [th, tw, 3] u8 (BGR; HLS computed per window)
     color_range: jnp.ndarray,  # [3] i32
     center_int: jnp.ndarray,   # [2] i32 (window coords)
     win_origin: jnp.ndarray,   # [2] i32
     mask_full: jnp.ndarray,    # [W, W] bool
     disk_idx, disk_valid, disk_sx2, disk_sy2,
     ann_idx, ann_valid, ann_x, ann_y, ann_angle, ann_sqd,
-    neg_sign, zero_turn,
+    neg_sign, zero_turn, hue_shift,
     sum_dtype=None,
 ):
     W = DIAL_WIN
-    window = lax.dynamic_slice(
-        dials_hls,
+    window_bgr = lax.dynamic_slice(
+        dials_bgr,
         (win_origin[1], win_origin[0], jnp.int32(0)),
         (W, W, 3),
     )
+    # exact HLS on the window only (the full crop needs just L for the
+    # template matcher): ~4x less colorspace + hue/sat work per image
+    window = color_ops.bgr_to_hls_full(window_bgr, hue_shift).astype(jnp.int32)
 
     # 5x5 mean color at the dial center (reference _reading.py:154-160);
     # integer-exact rounding: round(S/25) has no ties, so floor(S/25+.5)
@@ -112,13 +115,18 @@ def _decode_batch(
     th, tw = pa.template_zm.shape
     D = pa.mask_full.shape[0]
 
-    hls = color_ops.bgr_to_hls_full(crops_u8, pa.hue_shift)  # [B,ch,cw,3] i32
-    lightness = hls[..., 1].astype(jnp.float32)
-    if conv_precision == "matmul":
+    lightness = color_ops.lightness_channel(crops_u8).astype(jnp.float32)
+    if conv_precision in ("matmul", "pallas"):
         tsum = jnp.sum(pa.template_u8.astype(jnp.int32))
         tmean = tsum.astype(jnp.float32) / jnp.float32(th * tw)
-        scores = template_ops.match_template_scores_matmul(
-            lightness, pa.template_u8, tmean)
+        if (conv_precision == "pallas"
+                and lightness.shape[1:] == (250, 250)
+                and pa.template_u8.shape == (119, 188)):
+            from ..ops.pallas_match import match_scores_pallas
+            scores = match_scores_pallas(lightness, pa.template_u8, tmean)
+        else:
+            scores = template_ops.match_template_scores_matmul(
+                lightness, pa.template_u8, tmean)
     else:
         scores = template_ops.match_template_scores(
             lightness, pa.template_zm, precision=conv_precision)
@@ -126,7 +134,7 @@ def _decode_batch(
 
     dials = jax.vmap(
         lambda img, x, y: template_ops.crop_at(img, x, y, th, tw)
-    )(hls, mx, my)                                           # [B,th,tw,3]
+    )(crops_u8, mx, my)                                      # [B,th,tw,3] u8
 
     per_dial = jax.vmap(  # over batch
         lambda d: jax.vmap(  # over dials
@@ -138,7 +146,7 @@ def _decode_batch(
                 pa.disk_sx2[i], pa.disk_sy2[i],
                 pa.ann_idx[i], pa.ann_valid[i],
                 pa.ann_x[i], pa.ann_y[i], pa.ann_angle[i], pa.ann_sqd[i],
-                pa.neg_sign[i], pa.zero_turn[i],
+                pa.neg_sign[i], pa.zero_turn[i], pa.hue_shift,
                 sum_dtype=sum_dtype,
             )
         )(jnp.arange(D))
@@ -197,6 +205,16 @@ def _decode_batch(
     )
 
 
+def default_conv_precision() -> str:
+    """Pick the correlation implementation for the current default
+    device: the Pallas kernel on TPU, the XLA matmul formulation
+    elsewhere (compiled Pallas is TPU-only)."""
+    import jax as _jax
+
+    dev = _jax.config.jax_default_device or _jax.devices()[0]
+    return "pallas" if dev.platform == "tpu" else "matmul"
+
+
 class MeterDecoder:
     """Compiled batched decoder for one camera configuration.
 
@@ -210,8 +228,10 @@ class MeterDecoder:
         params: Params,
         *,
         exact: bool = True,
-        conv_precision="matmul",
+        conv_precision=None,
     ) -> None:
+        if conv_precision is None:
+            conv_precision = default_conv_precision()
         self.params = params
         self.exact = exact
         # x64 is required in both modes: the angle statistics accumulate
