@@ -276,7 +276,13 @@ def angle_by_vector(x: float, y: float):
     """Host copy of the reference's angle convention
     (meterelf/_utils.py:18-42): fraction of a turn in [0, 1), 0 = up,
     clockwise; None for the zero vector. Uses math.atan exactly like the
-    reference so precomputed angles are bit-identical."""
+    reference so precomputed angles are bit-identical.
+
+    >>> [angle_by_vector(*v) for v in
+    ...  [(0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
+    ...   (-1, -1), (0, 0)]]
+    [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, None]
+    """
     import math
 
     if y == 0:
