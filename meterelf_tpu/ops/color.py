@@ -32,10 +32,20 @@ def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
     """[..., 3] uint8 BGR -> [..., 3] int32 HLS (FULL hue range 0..255),
     with the reference's wrapping hue shift applied
     (meterelf/_utils.py:100-102: uint8 wraparound add on H only)."""
+    h, l, s = bgr_planes_to_hls(
+        bgr_u8[..., 0], bgr_u8[..., 1], bgr_u8[..., 2], hue_shift)
+    return jnp.stack([h, l, s], axis=-1).astype(jnp.uint8)
+
+
+def bgr_planes_to_hls(b_u8, g_u8, r_u8, hue_shift):
+    """Planar variant of bgr_to_hls_full: three uint8 planes in, three
+    int32 planes (h, l, s) out. Channel-planes layouts keep the minor
+    (lane) dimension a full image axis instead of the 3-wide channel
+    axis, which would waste 125/128 of every vector register."""
     scale = _F32(1.0) / _F32(255.0)
-    b = bgr_u8[..., 0].astype(_F32) * scale
-    g = bgr_u8[..., 1].astype(_F32) * scale
-    r = bgr_u8[..., 2].astype(_F32) * scale
+    b = b_u8.astype(_F32) * scale
+    g = g_u8.astype(_F32) * scale
+    r = r_u8.astype(_F32) * scale
 
     vmax = jnp.maximum(jnp.maximum(r, g), b)
     vmin = jnp.minimum(jnp.minimum(r, g), b)
@@ -65,16 +75,22 @@ def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
     l_u8 = _saturate_u8(l * _F32(255.0))
     s_u8 = _saturate_u8(s * _F32(255.0))
     h_u8 = (h_u8 + jnp.int32(hue_shift)) % 256  # uint8 wraparound semantics
-    return jnp.stack([h_u8, l_u8, s_u8], axis=-1).astype(jnp.uint8)
+    return h_u8, l_u8, s_u8
 
 
 def lightness_channel(bgr_u8: jnp.ndarray) -> jnp.ndarray:
     """L channel only — pure IEEE add/mul/rint, no divisions. Used for
     the template-match path where H/S are not needed."""
+    return lightness_from_planes(
+        bgr_u8[..., 0], bgr_u8[..., 1], bgr_u8[..., 2])
+
+
+def lightness_from_planes(b_u8, g_u8, r_u8) -> jnp.ndarray:
+    """Planar-layout L channel (see bgr_planes_to_hls)."""
     scale = _F32(1.0) / _F32(255.0)
-    b = bgr_u8[..., 0].astype(_F32) * scale
-    g = bgr_u8[..., 1].astype(_F32) * scale
-    r = bgr_u8[..., 2].astype(_F32) * scale
+    b = b_u8.astype(_F32) * scale
+    g = g_u8.astype(_F32) * scale
+    r = r_u8.astype(_F32) * scale
     vmax = jnp.maximum(jnp.maximum(r, g), b)
     vmin = jnp.minimum(jnp.minimum(r, g), b)
     l = (vmax + vmin) * _F32(0.5)

@@ -22,6 +22,22 @@ Semantics replicated:
   area are broken toward the contour found LAST in raster order, i.e.
   the larger component root index.
 
+TPU mapping (measured in docs/performance.md):
+
+- one batched call over all B*D windows (vmap lowers to the same, but
+  the batched form lets the stats stage run one big sort);
+- segmented scans ride native reverse cumsum/cummax (no flips), and the
+  run-id offsets (cumsum of the walls) are LOOP-INVARIANT, computed once
+  and reused by every propagation pass — that alone removes ~32 of the
+  ~80 memory-bound scan ops per call;
+- per-component stats ride ONE uint16 sort per window (a (key, payload)
+  i32 pair sort is ~4.5x more expensive): key = owner*4 + bits, run
+  length gives F directly, and a single packed cumsum carries both the
+  masked and boundary counts.
+- window-pair lane packing ([M, 64, 128]) was tried and is ~50% SLOWER
+  than the plain [K, 64, 64] batch (experiments/ccl_variants.py) — XLA's
+  chosen layouts beat hand-packing here; do not resurrect it.
+
 Everything runs on a [W, W] window (W=64) that provably contains the
 dial's mask disk, so results equal full-template processing exactly.
 """
@@ -45,75 +61,94 @@ K_FILL = 8
 
 
 class ComponentResult(NamedTuple):
-    has_any: jnp.ndarray        # [] bool: masked image nonempty
-    needle_region: jnp.ndarray  # [W, W] bool: reference's needle_mask
-    converged: jnp.ndarray      # [] bool: all propagations reached fixpoint
+    has_any: jnp.ndarray        # [...] bool: masked image nonempty
+    needle_region: jnp.ndarray  # [..., W, W] bool: reference's needle_mask
+    converged: jnp.ndarray      # [...] bool: propagations reached fixpoint
 
 
 _SEG_BASE = 8192  # > any window label value (W*W + 1)
 
 
-def _seg_scan_min(vals: jnp.ndarray, wall: jnp.ndarray, axis: int,
-                  reverse: bool) -> jnp.ndarray:
-    """Segmented cummin along an axis (running min resets at walls).
-
-    Implemented with one plain cummax via a monotone-offset transform:
-    v' = run_id*BASE + (BASE-1-v). Later runs have strictly larger
-    offsets, so a global cummax never leaks values across run
-    boundaries, and within a run max(BASE-1-v) recovers min(v). One
-    native cumsum + cummax — much cheaper than a tuple associative_scan."""
-    axis = axis % vals.ndim
-    if reverse:
-        vals = jnp.flip(vals, axis)
-        wall = jnp.flip(wall, axis)
-    rid = jnp.cumsum(wall.astype(jnp.int32), axis=axis)
-    vp = rid * _SEG_BASE + (_SEG_BASE - 1 - vals)
-    m = lax.cummax(vp, axis=axis)
-    out = (_SEG_BASE - 1) - (m - rid * _SEG_BASE)
-    if reverse:
-        out = jnp.flip(out, axis)
-    return out
+class _SegWalls(NamedTuple):
+    """Precomputed run-id offsets for segmented scans against one wall
+    set: rid[i] = number of walls at-or-before i in scan direction.
+    Loop-invariant across propagation passes."""
+    fwd_row: jnp.ndarray
+    rev_row: jnp.ndarray
+    fwd_col: jnp.ndarray
+    rev_col: jnp.ndarray
 
 
-def _seg_scan_or(vals: jnp.ndarray, wall: jnp.ndarray, axis: int,
-                 reverse: bool) -> jnp.ndarray:
-    """Segmented cumulative OR along an axis (resets at walls); same
-    monotone-offset cummax trick with 0/1 payloads."""
-    axis = axis % vals.ndim
-    if reverse:
-        vals = jnp.flip(vals, axis)
-        wall = jnp.flip(wall, axis)
-    rid = jnp.cumsum(wall.astype(jnp.int32), axis=axis)
-    vp = rid * 2 + vals.astype(jnp.int32)
-    m = lax.cummax(vp, axis=axis)
-    out = (m - rid * 2) > 0
-    if reverse:
-        out = jnp.flip(out, axis)
-    return out
+def _make_walls(wall: jnp.ndarray) -> _SegWalls:
+    w = wall.astype(jnp.int32)
+    return _SegWalls(
+        fwd_row=lax.cumsum(w, axis=wall.ndim - 1),
+        rev_row=lax.cumsum(w, axis=wall.ndim - 1, reverse=True),
+        fwd_col=lax.cumsum(w, axis=wall.ndim - 2),
+        rev_col=lax.cumsum(w, axis=wall.ndim - 2, reverse=True),
+    )
+
+
+def _rid_of(walls: _SegWalls, axis: int, reverse: bool) -> jnp.ndarray:
+    if axis == -1:
+        return walls.rev_row if reverse else walls.fwd_row
+    return walls.rev_col if reverse else walls.fwd_col
+
+
+def _seg_min_sweep(vals: jnp.ndarray, walls: _SegWalls) -> jnp.ndarray:
+    """All four segmented cummin sweeps (fwd/rev x row/col), using the
+    monotone-offset transform: v' = rid*BASE + (BASE-1-v). Later runs (in
+    scan direction) get strictly larger offsets, so a global cummax never
+    leaks values across run boundaries; within a run max(BASE-1-v)
+    recovers min(v)."""
+    nd = vals.ndim
+    for axis, reverse in ((-1, False), (-1, True), (-2, False), (-2, True)):
+        rid = _rid_of(walls, axis, reverse)
+        vp = rid * _SEG_BASE + (_SEG_BASE - 1 - vals)
+        m = lax.cummax(vp, axis=axis % nd, reverse=reverse)
+        vals = (_SEG_BASE - 1) - (m - rid * _SEG_BASE)
+    return vals
+
+
+def _seg_or_sweep(vals: jnp.ndarray, walls: _SegWalls) -> jnp.ndarray:
+    """All four segmented cumulative-OR sweeps; same offset trick with
+    0/1 payloads."""
+    nd = vals.ndim
+    for axis, reverse in ((-1, False), (-1, True), (-2, False), (-2, True)):
+        rid = _rid_of(walls, axis, reverse)
+        vp = rid * 2 + vals.astype(jnp.int32)
+        m = lax.cummax(vp, axis=axis % nd, reverse=reverse)
+        vals = (m - rid * 2) > 0
+    return vals
 
 
 def _min3x3(x: jnp.ndarray, big: int) -> jnp.ndarray:
+    nd = x.ndim
     return lax.reduce_window(
-        x, jnp.int32(big), lax.min,
-        window_dimensions=(3, 3), window_strides=(1, 1),
-        padding=[(1, 1), (1, 1)],
+        x, jnp.asarray(big, x.dtype), lax.min,
+        window_dimensions=(1,) * (nd - 2) + (3, 3),
+        window_strides=(1,) * nd,
+        padding=[(0, 0)] * (nd - 2) + [(1, 1), (1, 1)],
     )
 
 
 def _any4(x: jnp.ndarray) -> jnp.ndarray:
     """OR of the 4-neighborhood (von Neumann), border = False."""
-    up = jnp.pad(x[1:, :], ((0, 1), (0, 0)))
-    dn = jnp.pad(x[:-1, :], ((1, 0), (0, 0)))
-    lf = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
-    rt = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+    z2 = [(0, 0)] * (x.ndim - 2)
+    up = jnp.pad(x[..., 1:, :], z2 + [(0, 1), (0, 0)])
+    dn = jnp.pad(x[..., :-1, :], z2 + [(1, 0), (0, 0)])
+    lf = jnp.pad(x[..., :, 1:], z2 + [(0, 0), (0, 1)])
+    rt = jnp.pad(x[..., :, :-1], z2 + [(0, 0), (1, 0)])
     return up | dn | lf | rt
 
 
 def _any8(x: jnp.ndarray) -> jnp.ndarray:
+    nd = x.ndim
     return lax.reduce_window(
         x, False, lax.bitwise_or,
-        window_dimensions=(3, 3), window_strides=(1, 1),
-        padding=[(1, 1), (1, 1)],
+        window_dimensions=(1,) * (nd - 2) + (3, 3),
+        window_strides=(1,) * nd,
+        padding=[(0, 0)] * (nd - 2) + [(1, 1), (1, 1)],
     )
 
 
@@ -122,7 +157,22 @@ def analyze(
     closed: jnp.ndarray,     # [W, W] bool: closed needle mask (unmasked)
     disk: jnp.ndarray,       # [W, W] bool: dial full-disk mask (static)
 ) -> ComponentResult:
-    W = masked.shape[0]
+    """Single-window convenience wrapper over analyze_batch."""
+    res = analyze_batch(masked[None], closed[None], disk[None])
+    return ComponentResult(
+        has_any=res.has_any[0],
+        needle_region=res.needle_region[0],
+        converged=res.converged[0],
+    )
+
+
+def analyze_batch(
+    masked: jnp.ndarray,     # [K, W, W] bool
+    closed: jnp.ndarray,     # [K, W, W] bool
+    disk: jnp.ndarray,       # [K, W, W] bool
+) -> ComponentResult:
+    K, W, W2 = masked.shape
+    assert W2 == W
     N = W * W
     BIG = N
 
@@ -134,97 +184,101 @@ def analyze(
     # ---- 8-connected component labels (min flat index per component) ----
     # hybrid propagation: one 3x3 min (glues diagonals) + segmented
     # row/col cummin sweeps (propagate through straight runs in one shot)
-    labels0 = jnp.where(masked, idx, BIG)
-    wall = ~masked
+    labels = jnp.where(masked, idx, BIG)
+    label_walls = _make_walls(~masked)
 
     def hybrid_pass(lab):
         lab = jnp.where(masked, jnp.minimum(lab, _min3x3(lab, BIG)), BIG)
-        lab = _seg_scan_min(lab, wall, axis=-1, reverse=False)
-        lab = _seg_scan_min(lab, wall, axis=-1, reverse=True)
-        lab = _seg_scan_min(lab, wall, axis=-2, reverse=False)
-        lab = _seg_scan_min(lab, wall, axis=-2, reverse=True)
+        lab = _seg_min_sweep(lab, label_walls)
         return jnp.where(masked, lab, BIG)
 
-    labels = lax.fori_loop(
-        0, K_LABEL_HYBRID, lambda _, l: hybrid_pass(l), labels0)
-    labels_conv = jnp.all(
+    for _ in range(K_LABEL_HYBRID):  # unrolled: fuses across steps
+        labels = hybrid_pass(labels)
+    labels_eq = (
         jnp.where(masked, jnp.minimum(labels, _min3x3(labels, BIG)), BIG)
         == labels)
 
     # ---- outside background (bg 4-connected to beyond the dial disk) ----
     bg = ~masked
-    outside0 = bg & ~disk
-    bg_wall = masked
+    outside = bg & ~disk
+    bg_walls = _make_walls(masked)
 
     def out_pass(out):
         out = out | (bg & _any4(out))
-        out = _seg_scan_or(out, bg_wall, axis=-1, reverse=False)
-        out = _seg_scan_or(out, bg_wall, axis=-1, reverse=True)
-        out = _seg_scan_or(out, bg_wall, axis=-2, reverse=False)
-        out = _seg_scan_or(out, bg_wall, axis=-2, reverse=True)
+        out = _seg_or_sweep(out, bg_walls)
         return out & bg
 
-    outside = lax.fori_loop(
-        0, K_OUTSIDE_HYBRID, lambda _, o: out_pass(o), outside0)
-    outside_conv = jnp.all((outside | (bg & _any4(outside))) == outside)
+    for _ in range(K_OUTSIDE_HYBRID):
+        outside = out_pass(outside)
+    outside_eq = (outside | (bg & _any4(outside))) == outside
     enclosed = bg & ~outside
     support = masked | enclosed
 
     # ---- assign enclosed holes to their surrounding component ----
-    owner0 = jnp.where(masked, labels, BIG)
-
-    def fill_step(_, own):
-        return jnp.where(enclosed, jnp.minimum(own, _min3x3(own, BIG)), own)
-
-    owner = lax.fori_loop(0, K_FILL, fill_step, owner0)
-    fill_conv = jnp.all(
+    owner = jnp.where(masked, labels, BIG)
+    for _ in range(K_FILL):
+        owner = jnp.where(
+            enclosed, jnp.minimum(owner, _min3x3(owner, BIG)), owner)
+    fill_eq = (
         jnp.where(enclosed, jnp.minimum(owner, _min3x3(owner, BIG)), owner)
         == owner)
-    converged = labels_conv & outside_conv & fill_conv
 
-    # ---- per-component statistics via sort + prefix scans ----
-    # (bincount-style scatter-adds are ~6x slower on TPU; a single sort
-    # groups each component's pixels contiguously, and segmented sums
-    # fall out of cumsums + a cummax trick for the previous run's total)
+    def conv_per_window(eq):
+        return eq.all(axis=(1, 2))
+
+    converged = (conv_per_window(labels_eq)
+                 & conv_per_window(outside_eq)
+                 & conv_per_window(fill_eq))
+
+    # ---- per-component statistics via ONE u16 sort + prefix scans ----
+    # key = owner*4 + masked*2 + boundary <= 4*N + 3 < 2^16.
+    # Run order within a key is irrelevant (only run totals are used).
     boundary = masked & _any8(outside)
-    key_pix = jnp.where(support, owner, N).ravel()
-    payload = (
-        masked.astype(jnp.int32)
-        + 2 * support.astype(jnp.int32)
-        + 4 * boundary.astype(jnp.int32)
-    ).ravel()
-    sk, sp = lax.sort((key_pix, payload), num_keys=1)
+    packed = (
+        jnp.where(support, owner, N) * 4
+        + masked.astype(jnp.int32) * 2
+        + boundary.astype(jnp.int32)
+    ).reshape(K, N)
 
-    cum_c = jnp.cumsum(sp & 1)
-    cum_f = jnp.cumsum((sp >> 1) & 1)
-    cum_b = jnp.cumsum((sp >> 2) & 1)
-    nxt = jnp.concatenate([sk[1:], jnp.full((1,), -1, sk.dtype)])
+    (spk16,) = lax.sort(
+        (packed.astype(jnp.uint16),), dimension=1, num_keys=1)
+    spk = spk16.astype(jnp.int32)
+    sk = spk >> 2
+
+    nxt = jnp.concatenate([sk[:, 1:], jnp.full((K, 1), -1, sk.dtype)], 1)
     run_end = sk != nxt
+    pos1 = lax.broadcasted_iota(jnp.int32, (K, N), 1) + 1
 
-    def run_total(cum):
-        ends = jnp.where(run_end, cum, 0)
-        m = lax.cummax(ends)
-        prev = jnp.concatenate([jnp.zeros((1,), m.dtype), m[:-1]])
-        return cum - prev
+    # one packed cumsum carries both the masked count (C, low 16 bits)
+    # and the boundary count (B, high bits); each <= N = 2^12
+    cum_cb = jnp.cumsum(((spk >> 1) & 1) + ((spk & 1) << 16), axis=1)
 
-    F = run_total(cum_f)
-    Bc = run_total(cum_b)
-    C = run_total(cum_c)
+    def prev_run(v):
+        m = lax.cummax(jnp.where(run_end, v, 0), axis=1)
+        return jnp.concatenate([jnp.zeros((K, 1), m.dtype), m[:, :-1]], 1)
+
+    cb = cum_cb - prev_run(cum_cb)
+    C = cb & 0xFFFF
+    Bc = cb >> 16
+    # F (support count of the run) = run length, from run extents alone
+    F = pos1 - prev_run(pos1)
 
     # area surrogate x2 (integer): 2*contourArea = 2F - B - 2
     area2 = 2 * F - Bc - 2
     valid = run_end & (C > 0) & (sk < N)
     key = jnp.where(valid, jnp.maximum(area2, 0) * N + sk, jnp.int32(-1))
-    i_sel = jnp.argmax(key)
-    sel = sk[i_sel]
-    area2_sel = area2[i_sel]
+    i_sel = jnp.argmax(key, axis=1)
+    sel = jnp.take_along_axis(sk, i_sel[:, None], 1)[:, 0]          # [K]
+    area2_sel = jnp.take_along_axis(area2, i_sel[:, None], 1)[:, 0]
 
     big_blob = area2_sel > 200  # contourArea > 100 (reference threshold)
-    fill_sel = support & (owner == sel)
-    needle_region = jnp.where(big_blob, fill_sel, closed)
+    owner_key = jnp.where(support, owner, N)                # [K, W, W]-keyed
+    fill_sel = ((owner_key == sel[:, None, None])
+                & (sel[:, None, None] < N))
+    needle_region = jnp.where(big_blob[:, None, None], fill_sel, closed)
 
     return ComponentResult(
-        has_any=masked.any(),
+        has_any=masked.any(axis=(1, 2)),
         needle_region=needle_region,
         converged=converged,
     )

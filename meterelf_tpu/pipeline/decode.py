@@ -54,54 +54,55 @@ class BatchResult(NamedTuple):
     converged: jnp.ndarray        # [B] bool: CCL propagation fixpoint check
 
 
-def _analyze_dial(
-    dials_bgr: jnp.ndarray,   # [th, tw, 3] u8 (BGR; HLS computed per window)
+def _dial_window_masks(
+    planar_bgr: jnp.ndarray,   # [3, ch, cw] u8 (full meter-rect crop)
+    match_x: jnp.ndarray,      # [] i32 template-match location
+    match_y: jnp.ndarray,
     color_range: jnp.ndarray,  # [3] i32
     center_int: jnp.ndarray,   # [2] i32 (window coords)
-    win_origin: jnp.ndarray,   # [2] i32
+    win_origin: jnp.ndarray,   # [2] i32 (template coords)
     mask_full: jnp.ndarray,    # [W, W] bool
-    disk_idx, disk_valid, disk_sx2, disk_sy2,
-    ann_idx, ann_valid, ann_x, ann_y, ann_angle, ann_sqd,
-    neg_sign, zero_turn, hue_shift,
-    sum_dtype=None,
+    hue_shift,
 ):
+    """Window extraction + exact HLS + inRange + 3x3 close for one dial.
+
+    Slices the dial window STRAIGHT from the full crop at
+    match_loc + win_origin — materializing the intermediate [th, tw, 3]
+    dials crop per image cost ~8 ms/batch for no benefit. Planar (3, H,
+    W) layout keeps lanes on an image axis (a channel-minor uint8 layout
+    wastes 125/128 of each vector register)."""
     W = DIAL_WIN
-    window_bgr = lax.dynamic_slice(
-        dials_bgr,
-        (win_origin[1], win_origin[0], jnp.int32(0)),
-        (W, W, 3),
+    window = lax.dynamic_slice(
+        planar_bgr,
+        (jnp.int32(0), match_y + win_origin[1], match_x + win_origin[0]),
+        (3, W, W),
     )
     # exact HLS on the window only (the full crop needs just L for the
     # template matcher): ~4x less colorspace + hue/sat work per image
-    window = color_ops.bgr_to_hls_full(window_bgr, hue_shift).astype(jnp.int32)
+    h, l, s = color_ops.bgr_planes_to_hls(
+        window[0], window[1], window[2], hue_shift)
+    hls_pl = jnp.stack([h, l, s])                         # [3, W, W] i32
 
     # 5x5 mean color at the dial center (reference _reading.py:154-160);
     # integer-exact rounding: round(S/25) has no ties, so floor(S/25+.5)
     # == round-half-even == the reference's int(round(...)).
     core = lax.dynamic_slice(
-        window,
-        (center_int[1] - 2, center_int[0] - 2, jnp.int32(0)),
-        (5, 5, 3),
+        hls_pl,
+        (jnp.int32(0), center_int[1] - 2, center_int[0] - 2),
+        (3, 5, 5),
     )
-    s = jnp.sum(core, axis=(0, 1))                       # [3] i32
-    dial_color = (2 * s + 25) // 50
+    ssum = jnp.sum(core, axis=(1, 2))                     # [3] i32
+    dial_color = (2 * ssum + 25) // 50
 
     lo = jnp.clip(dial_color - color_range, 0, 255)
     hi = jnp.clip(dial_color + color_range, 0, 255)
-    raw = jnp.all((window >= lo) & (window <= hi), axis=-1)
+    raw = jnp.all(
+        (hls_pl >= lo[:, None, None]) & (hls_pl <= hi[:, None, None]),
+        axis=0)
 
     closed = morph_ops.close3(raw)
     masked = closed & mask_full
-    comp = comp_ops.analyze(masked, closed, mask_full)
-
-    reading = angles_ops.read_dial(
-        comp.needle_region.ravel(),
-        disk_idx, disk_valid, disk_sx2, disk_sy2,
-        ann_idx, ann_valid, ann_x, ann_y, ann_angle, ann_sqd,
-        neg_sign, zero_turn,
-        sum_dtype=sum_dtype,
-    )
-    return comp.has_any, reading.readable, reading.position, comp.converged
+    return masked, closed
 
 
 def _decode_batch(
@@ -114,8 +115,12 @@ def _decode_batch(
 ) -> BatchResult:
     th, tw = pa.template_zm.shape
     D = pa.mask_full.shape[0]
+    W = DIAL_WIN
+    B = crops_u8.shape[0]
 
-    lightness = color_ops.lightness_channel(crops_u8).astype(jnp.float32)
+    planar = jnp.transpose(crops_u8, (0, 3, 1, 2))       # [B, 3, ch, cw]
+    lightness = color_ops.lightness_from_planes(
+        planar[:, 0], planar[:, 1], planar[:, 2]).astype(jnp.float32)
     if conv_precision in ("matmul", "pallas"):
         tsum = jnp.sum(pa.template_u8.astype(jnp.int32))
         tmean = tsum.astype(jnp.float32) / jnp.float32(th * tw)
@@ -132,26 +137,44 @@ def _decode_batch(
             lightness, pa.template_zm, precision=conv_precision)
     max_val, mx, my = template_ops.locate(scores)
 
-    dials = jax.vmap(
-        lambda img, x, y: template_ops.crop_at(img, x, y, th, tw)
-    )(crops_u8, mx, my)                                      # [B,th,tw,3] u8
-
-    per_dial = jax.vmap(  # over batch
-        lambda d: jax.vmap(  # over dials
-            lambda i: _analyze_dial(
-                d,
+    # stage A: per-(image, dial) window masks (cheap VPU work, vmapped)
+    masked, closed = jax.vmap(  # over batch
+        lambda img, x, y: jax.vmap(  # over dials
+            lambda i: _dial_window_masks(
+                img, x, y,
                 pa.color_range[i], pa.centers_int[i], pa.win_origin[i],
-                pa.mask_full[i],
+                pa.mask_full[i], pa.hue_shift,
+            )
+        )(jnp.arange(D))
+    )(planar, mx, my)                                    # [B, D, W, W]
+
+    # stage B: ONE batched component analysis over all B*D windows
+    # (analyze_batch packs window pairs to full 128-lane rows)
+    disk_b = jnp.broadcast_to(pa.mask_full[None], (B, D, W, W))
+    comp = comp_ops.analyze_batch(
+        masked.reshape(B * D, W, W),
+        closed.reshape(B * D, W, W),
+        disk_b.reshape(B * D, W, W),
+    )
+    has_any = comp.has_any.reshape(B, D)
+    conv = comp.converged.reshape(B, D)
+    needle = comp.needle_region.reshape(B, D, W * W)
+
+    # stage C: angle statistics per window (masked f64 reductions)
+    per_dial = jax.vmap(  # over batch
+        lambda nr: jax.vmap(  # over dials
+            lambda i: angles_ops.read_dial(
+                nr[i],
                 pa.disk_idx[i], pa.disk_valid[i],
                 pa.disk_sx2[i], pa.disk_sy2[i],
                 pa.ann_idx[i], pa.ann_valid[i],
                 pa.ann_x[i], pa.ann_y[i], pa.ann_angle[i], pa.ann_sqd[i],
-                pa.neg_sign[i], pa.zero_turn[i], pa.hue_shift,
+                pa.neg_sign[i], pa.zero_turn[i],
                 sum_dtype=sum_dtype,
             )
         )(jnp.arange(D))
-    )(dials)
-    has_any, readable, positions, conv = per_dial  # each [B, D]
+    )(needle)
+    readable, positions = per_dial.readable, per_dial.position  # [B, D]
 
     f = positions.dtype
     if D == 4:
