@@ -170,7 +170,27 @@ def analyze_batch(
     masked: jnp.ndarray,     # [K, W, W] bool
     closed: jnp.ndarray,     # [K, W, W] bool
     disk: jnp.ndarray,       # [K, W, W] bool
+    impl: str = "xla",       # "xla" | "pallas" (TPU-only) | "pallas_interpret"
 ) -> ComponentResult:
+    """Batched component analysis. impl="pallas" runs the propagation
+    passes in one fused VMEM-resident kernel (ops/pallas_ccl.py); the
+    sort-based stats stage is shared."""
+    if impl.startswith("pallas"):
+        from .pallas_ccl import propagate
+        okey, converged = propagate(
+            masked, disk, interpret=impl.endswith("interpret"))
+    else:
+        okey, converged = _propagate_xla(masked, disk)
+    return _finalize(okey, masked, closed, converged)
+
+
+def _propagate_xla(
+    masked: jnp.ndarray,     # [K, W, W] bool
+    disk: jnp.ndarray,       # [K, W, W] bool
+):
+    """-> (owner_key i32 [K, W, W], converged bool [K]) where
+    owner_key = owner*4 + masked*2 + boundary, owner = N at non-support
+    pixels — the packed key _finalize sorts."""
     K, W, W2 = masked.shape
     assert W2 == W
     N = W * W
@@ -230,15 +250,28 @@ def analyze_batch(
                  & conv_per_window(outside_eq)
                  & conv_per_window(fill_eq))
 
-    # ---- per-component statistics via ONE u16 sort + prefix scans ----
-    # key = owner*4 + masked*2 + boundary <= 4*N + 3 < 2^16.
-    # Run order within a key is irrelevant (only run totals are used).
     boundary = masked & _any8(outside)
-    packed = (
+    okey = (
         jnp.where(support, owner, N) * 4
         + masked.astype(jnp.int32) * 2
         + boundary.astype(jnp.int32)
-    ).reshape(K, N)
+    )
+    return okey, converged
+
+
+def _finalize(
+    okey: jnp.ndarray,       # [K, W, W] i32 packed owner key
+    masked: jnp.ndarray,     # [K, W, W] bool
+    closed: jnp.ndarray,     # [K, W, W] bool
+    converged: jnp.ndarray,  # [K] bool
+) -> ComponentResult:
+    K, W, _ = okey.shape
+    N = W * W
+
+    # ---- per-component statistics via ONE u16 sort + prefix scans ----
+    # key = owner*4 + masked*2 + boundary <= 4*N + 3 < 2^16.
+    # Run order within a key is irrelevant (only run totals are used).
+    packed = okey.reshape(K, N)
 
     (spk16,) = lax.sort(
         (packed.astype(jnp.uint16),), dimension=1, num_keys=1)
@@ -272,7 +305,7 @@ def analyze_batch(
     area2_sel = jnp.take_along_axis(area2, i_sel[:, None], 1)[:, 0]
 
     big_blob = area2_sel > 200  # contourArea > 100 (reference threshold)
-    owner_key = jnp.where(support, owner, N)                # [K, W, W]-keyed
+    owner_key = okey >> 2                       # owner, N at non-support
     fill_sel = ((owner_key == sel[:, None, None])
                 & (sel[:, None, None] < N))
     needle_region = jnp.where(big_blob[:, None, None], fill_sel, closed)

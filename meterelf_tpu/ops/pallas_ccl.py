@@ -1,0 +1,246 @@
+"""Fused Pallas TPU kernel for the connected-component propagation of
+ops/components.analyze_batch.
+
+The XLA formulation round-trips ~80 scan/reduce_window ops through HBM
+(~33 MB each at B=512, measured ~290 GB/s effective -> ~19 ms/batch).
+This kernel keeps a group of windows VMEM-resident and runs every
+propagation pass on-chip; only the input bits and the final owner-key
+raster touch HBM.
+
+Layout: window PAIRS are packed side by side in XLA ([M, 64, 128], one
+transpose) so in-kernel rows use the full 128-lane width; a program
+processes GP pairs as one [GP*64, 128] array. All scans and 3x3
+neighborhoods are 64-BLOCK-SEGMENTED (masked log-shifts), so nothing
+ever leaks between windows regardless of mask geometry.
+
+Algorithms are identical to ops/components.py (same pass structure and
+iteration counts, same monotone-offset segmented scans); see that module
+for the cv2-semantics rationale. Reference: meterelf/_reading.py:132-148.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .components import K_LABEL_HYBRID, K_OUTSIDE_HYBRID, K_FILL
+
+W = 64            # window size
+N = W * W         # flat index bound; BIG label
+GP = 8            # window pairs per program
+_SEG_BASE = 8192
+
+
+def _iotas(S):
+    sub = lax.broadcasted_iota(jnp.int32, (S, 128), 0) % jnp.int32(W)
+    lane = lax.broadcasted_iota(jnp.int32, (S, 128), 1) % jnp.int32(W)
+    return sub, lane
+
+
+def _shift_prev(x, s, axis, S):
+    """x shifted so position i sees position i-s (cyclic; callers mask)."""
+    return pltpu.roll(x, s, axis)
+
+
+def _shift_next(x, s, axis, S):
+    """Position i sees position i+s (cyclic; callers mask)."""
+    size = S if axis == 0 else 128
+    return pltpu.roll(x, size - s, axis)
+
+
+def _blk_scan(x, axis, reverse, op, S, sub, lane, nsteps=6):
+    """64-block-segmented prefix (or suffix) scan with operator `op`
+    (max or add), via masked log-shifts. Out-of-block contributions are
+    masked off, so each 64-run of a row/column scans independently."""
+    idx = sub if axis == 0 else lane
+    for b in range(nsteps):
+        s = 1 << b
+        if not reverse:
+            shifted = _shift_prev(x, s, axis, S)
+            ok = idx >= jnp.int32(s)
+        else:
+            shifted = _shift_next(x, s, axis, S)
+            ok = idx < jnp.int32(W - s)
+        x = jnp.where(ok, op(x, shifted), x)
+    return x
+
+
+def _seg_min_sweep(v, rids, S, sub, lane):
+    """Four segmented-cummin sweeps (fwd/rev x lane/sublane) using
+    precomputed run ids; the monotone-offset transform turns each into
+    one blocked prefix-max."""
+    for (axis, reverse), rid in rids:
+        vp = rid * jnp.int32(_SEG_BASE) + (jnp.int32(_SEG_BASE - 1) - v)
+        vp = _blk_scan(vp, axis, reverse, jnp.maximum, S, sub, lane)
+        v = jnp.int32(_SEG_BASE - 1) - (vp - rid * jnp.int32(_SEG_BASE))
+    return v
+
+
+def _seg_or_sweep(v, rids, S, sub, lane):
+    for (axis, reverse), rid in rids:
+        vp = rid * 2 + v.astype(jnp.int32)
+        vp = _blk_scan(vp, axis, reverse, jnp.maximum, S, sub, lane)
+        v = (vp - rid * 2) > 0
+    return v
+
+
+def _make_rids(wall, S, sub, lane):
+    """Blocked cumsum of the wall indicator in all four directions."""
+    w = wall.astype(jnp.int32)
+    return [
+        ((1, False), _blk_scan(w, 1, False, jnp.add, S, sub, lane)),
+        ((1, True), _blk_scan(w, 1, True, jnp.add, S, sub, lane)),
+        ((0, False), _blk_scan(w, 0, False, jnp.add, S, sub, lane)),
+        ((0, True), _blk_scan(w, 0, True, jnp.add, S, sub, lane)),
+    ]
+
+
+def _min3x3(x, S, sub, lane, big):
+    """Blocked 3x3 min: out-of-window neighbors read as `big`."""
+    b = jnp.int32(big)
+    up = jnp.where(sub < jnp.int32(W - 1), _shift_next(x, 1, 0, S), b)
+    dn = jnp.where(sub >= jnp.int32(1), _shift_prev(x, 1, 0, S), b)
+    r = jnp.minimum(x, jnp.minimum(up, dn))
+    lf = jnp.where(lane < jnp.int32(W - 1), _shift_next(r, 1, 1, S), b)
+    rt = jnp.where(lane >= jnp.int32(1), _shift_prev(r, 1, 1, S), b)
+    return jnp.minimum(r, jnp.minimum(lf, rt))
+
+
+def _any4(x, S, sub, lane):
+    # Mosaic cannot rotate i1 vectors; ride i32 0/1 with max as OR
+    xi = x.astype(jnp.int32)
+    z = jnp.int32(0)
+    up = jnp.where(sub < jnp.int32(W - 1), _shift_next(xi, 1, 0, S), z)
+    dn = jnp.where(sub >= jnp.int32(1), _shift_prev(xi, 1, 0, S), z)
+    lf = jnp.where(lane < jnp.int32(W - 1), _shift_next(xi, 1, 1, S), z)
+    rt = jnp.where(lane >= jnp.int32(1), _shift_prev(xi, 1, 1, S), z)
+    return (up + dn + lf + rt) > 0
+
+
+def _any8(x, S, sub, lane):
+    xi = x.astype(jnp.int32)
+    z = jnp.int32(0)
+    up = jnp.where(sub < jnp.int32(W - 1), _shift_next(xi, 1, 0, S), z)
+    dn = jnp.where(sub >= jnp.int32(1), _shift_prev(xi, 1, 0, S), z)
+    ri = jnp.maximum(xi, jnp.maximum(up, dn))
+    lf = jnp.where(lane < jnp.int32(W - 1), _shift_next(ri, 1, 1, S), z)
+    rt = jnp.where(lane >= jnp.int32(1), _shift_prev(ri, 1, 1, S), z)
+    return jnp.maximum(ri, jnp.maximum(lf, rt)) > 0
+
+
+def _ccl_kernel(bits_ref, okey_ref, conv_ref):
+    S = GP * W
+    i32 = jnp.int32
+    sub, lane = _iotas(S)
+    idx = sub * i32(W) + lane          # per-window flat index
+    BIG = i32(N)
+
+    bits = bits_ref[...].reshape(S, 128)
+    masked = (bits & 1) != 0
+    disk = (bits & 2) != 0
+
+    # ---- labels ----
+    label_rids = _make_rids(~masked, S, sub, lane)
+    labels = jnp.where(masked, idx, BIG)
+    for _ in range(K_LABEL_HYBRID):
+        lab = jnp.where(
+            masked, jnp.minimum(labels, _min3x3(labels, S, sub, lane, N)),
+            BIG)
+        lab = _seg_min_sweep(lab, label_rids, S, sub, lane)
+        labels = jnp.where(masked, lab, BIG)
+    eq_lab = (
+        jnp.where(masked,
+                  jnp.minimum(labels, _min3x3(labels, S, sub, lane, N)), BIG)
+        == labels)
+
+    # ---- outside flood ----
+    bg = ~masked
+    bg_rids = _make_rids(masked, S, sub, lane)
+    outside = bg & ~disk
+    for _ in range(K_OUTSIDE_HYBRID):
+        out = outside | (bg & _any4(outside, S, sub, lane))
+        out = _seg_or_sweep(out, bg_rids, S, sub, lane)
+        outside = out & bg
+    eq_out = (outside | (bg & _any4(outside, S, sub, lane))) == outside
+    enclosed = bg & ~outside
+    support = masked | enclosed
+
+    # ---- hole ownership fill ----
+    owner = jnp.where(masked, labels, BIG)
+    for _ in range(K_FILL):
+        owner = jnp.where(
+            enclosed,
+            jnp.minimum(owner, _min3x3(owner, S, sub, lane, N)), owner)
+    eq_fill = (
+        jnp.where(enclosed,
+                  jnp.minimum(owner, _min3x3(owner, S, sub, lane, N)), owner)
+        == owner)
+
+    # ---- outputs ----
+    boundary = masked & _any8(outside, S, sub, lane)
+    okey = (jnp.where(support, owner, BIG) * 4
+            + masked.astype(i32) * 2 + boundary.astype(i32))
+    okey_ref[...] = okey
+
+    # bool multi-reductions don't lower in Mosaic; use i32 min-reduce
+    eq = (eq_lab & eq_out & eq_fill).astype(i32)
+    red = jnp.min(eq.reshape(GP, W, 128), axis=1)          # [GP, 128]
+    lane_full = lax.broadcasted_iota(i32, (GP, 128), 1)
+    left = jnp.min(
+        jnp.where(lane_full >= i32(W), i32(1), red), axis=1, keepdims=True)
+    right = jnp.min(
+        jnp.where(lane_full < i32(W), i32(1), red), axis=1, keepdims=True)
+    conv_ref[...] = jnp.where(
+        lane_full == 0, left, jnp.where(lane_full == 1, right, i32(0)))
+
+
+def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False):
+    """[K, W, W] bool masks -> (owner_key i32 [K, W, W], converged [K]).
+
+    owner_key = owner*4 + masked*2 + boundary with owner = N for
+    non-support pixels — exactly the packed key analyze_batch sorts."""
+    K = masked.shape[0]
+    assert masked.shape[1:] == (W, W)
+
+    pairs_pad = (-K) % (2 * GP)  # pad K to a multiple of 2*GP
+    Kp = K + pairs_pad
+    if pairs_pad:
+        z = jnp.zeros((pairs_pad, W, W), bool)
+        masked = jnp.concatenate([masked, z], 0)
+        disk = jnp.concatenate([disk, z], 0)
+    M = Kp // 2
+
+    bits = masked.astype(jnp.int32) + 2 * disk.astype(jnp.int32)
+    bits2 = (bits.reshape(M, 2, W, W).transpose(0, 2, 1, 3)
+             .reshape(M, W, 2 * W))
+
+    with jax.enable_x64(False):
+        okey2, conv2 = pl.pallas_call(
+            _ccl_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((M * W, 128), jnp.int32),
+                jax.ShapeDtypeStruct((M, 128), jnp.int32),
+            ),
+            grid=(M // GP,),
+            in_specs=[
+                pl.BlockSpec((GP, W, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((GP * W, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((GP, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(bits2.reshape(M, W, 128))
+
+    okey = (okey2.reshape(M, W, 2, W).transpose(0, 2, 1, 3)
+            .reshape(Kp, W, W)[:K])
+    conv = (conv2[:, :2] != 0).reshape(Kp)[:K]
+    return okey, conv

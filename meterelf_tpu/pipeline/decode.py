@@ -155,6 +155,9 @@ def _decode_batch(
         masked.reshape(B * D, W, W),
         closed.reshape(B * D, W, W),
         disk_b.reshape(B * D, W, W),
+        # the fused VMEM-resident propagation kernel is TPU-only; ride
+        # the same platform switch as the correlation kernel
+        impl="pallas" if conv_precision == "pallas" else "xla",
     )
     has_any = comp.has_any.reshape(B, D)
     conv = comp.converged.reshape(B, D)

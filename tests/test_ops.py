@@ -109,3 +109,34 @@ def test_components_match_cv2_on_random_blobs(seed):
         return
     got = np.asarray(res.needle_region)
     assert np.array_equal(got, expected), f"seed {seed}"
+
+
+@pytest.mark.parametrize("density", [0.1, 0.3, 0.5])
+def test_pallas_ccl_matches_xla_propagation(density):
+    """The fused Pallas propagation kernel (ops/pallas_ccl.py) must be
+    bit-identical to the XLA path — needle regions, has_any, and the
+    per-window convergence bits — including on dense noise that does
+    NOT converge (both impls must agree on the failure)."""
+    rng = np.random.default_rng(int(density * 100))
+    W = 64
+    K = 34  # odd pair count + pad-to-group coverage
+    yy, xx = np.mgrid[:W, :W]
+    disk = (yy - 32) ** 2 + (xx - 32) ** 2 <= 23 ** 2
+    closed = rng.random((K, W, W)) < density
+    masked = closed & disk
+    diskb = np.broadcast_to(disk, (K, W, W)).copy()
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    impl = "pallas" if dev.platform == "tpu" else "pallas_interpret"
+    # compiled pallas_call must go through jit (eager dispatch on the
+    # tunnel platform lowers it for CPU and refuses)
+    run = jax.jit(comp_ops.analyze_batch, static_argnames=("impl",))
+    r_x = run(jnp.asarray(masked), jnp.asarray(closed), jnp.asarray(diskb),
+              impl="xla")
+    r_p = run(jnp.asarray(masked), jnp.asarray(closed), jnp.asarray(diskb),
+              impl=impl)
+    assert np.array_equal(np.asarray(r_x.needle_region),
+                          np.asarray(r_p.needle_region))
+    assert np.array_equal(np.asarray(r_x.has_any), np.asarray(r_p.has_any))
+    assert np.array_equal(np.asarray(r_x.converged),
+                          np.asarray(r_p.converged))
