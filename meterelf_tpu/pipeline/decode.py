@@ -127,8 +127,9 @@ def _decode_batch(
         if (conv_precision == "pallas"
                 and lightness.shape[1:] == (250, 250)
                 and pa.template_u8.shape == (119, 188)):
-            from ..ops.pallas_match import match_scores_pallas
-            scores = match_scores_pallas(lightness, pa.template_u8, tmean)
+            from ..ops.pallas_match2 import match_scores_pallas_fused
+            scores = match_scores_pallas_fused(
+                lightness, pa.template_u8, tmean)
         else:
             scores = template_ops.match_template_scores_matmul(
                 lightness, pa.template_u8, tmean)

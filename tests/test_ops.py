@@ -1,5 +1,7 @@
 """Kernel-level parity tests vs OpenCV semantics (the unit coverage the
 reference lacks; SURVEY.md §4 'implication for the TPU build')."""
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -140,3 +142,24 @@ def test_pallas_ccl_matches_xla_propagation(density):
     assert np.array_equal(np.asarray(r_x.has_any), np.asarray(r_p.has_any))
     assert np.array_equal(np.asarray(r_x.converged),
                           np.asarray(r_p.converged))
+
+
+def test_fused_matcher_matches_v1_plus_boxsum():
+    """pallas_match2 (correlation + in-kernel integral-image boxsum)
+    must be bit-identical to the v1 kernel + XLA boxsum composition."""
+    from meterelf_tpu.ops import pallas_match as pm
+    from meterelf_tpu.ops import pallas_match2 as pm2
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    interpret = dev.platform != "tpu"
+    rng = np.random.default_rng(7)
+    L = jnp.asarray(
+        rng.integers(0, 256, (3, 250, 250)).astype(np.float32))
+    T = jnp.asarray(rng.integers(0, 256, (119, 188)).astype(np.uint8))
+    tmean = jnp.float32(117.25)
+
+    v1 = jax.jit(functools.partial(pm.match_scores_pallas,
+                                   interpret=interpret))(L, T, tmean)
+    v2 = jax.jit(functools.partial(pm2.match_scores_pallas_fused,
+                                   interpret=interpret))(L, T, tmean)
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
