@@ -49,11 +49,14 @@ def main() -> None:
     dec = MeterDecoder(params, exact=True)
 
     if files:
-        crops_c, ok_c = jio.load_crops(files, params.meter_rect)
+        crops_u8, ok_c = jio.load_crops(files, params.meter_rect)
+        pad = (jio.frontend_pad_hw()
+               if crops_u8.shape[1:3] == (250, 250) else None)
+        crops_c = jio.pack_crops(crops_u8, pad_hw=pad)
     else:
         from meterelf_tpu import synthetic
-        crops_c = synthetic.render_crops(
-            [[(i * 1.3 + d) % 10 for d in range(4)] for i in range(64)])
+        crops_c = jio.pack_crops(synthetic.render_crops(
+            [[(i * 1.3 + d) % 10 for d in range(4)] for i in range(64)]))
         ok_c = np.ones(64, bool)
 
     # correctness gate on the real corpus before timing
@@ -82,7 +85,7 @@ def main() -> None:
     reps = -(-REPLAY_FRAMES // n)
     n_batches = REPLAY_FRAMES // BATCH
     frames = n_batches * BATCH
-    crops_all = np.tile(crops_c, (reps, 1, 1, 1))[:frames]
+    crops_all = np.tile(crops_c, (reps,) + (1,) * (crops_c.ndim - 1))[:frames]
     ok_all = np.tile(ok_c, reps)[:frames]
     crops_dev = jax.device_put(
         crops_all.reshape(n_batches, BATCH, *crops_all.shape[1:]))

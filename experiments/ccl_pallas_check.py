@@ -21,7 +21,7 @@ from meterelf_tpu.ops import color as color_ops
 from meterelf_tpu.ops import template as template_ops
 from meterelf_tpu.ops import components as comp_ops
 from meterelf_tpu.ops.pallas_match import match_scores_pallas
-from meterelf_tpu.pipeline.decode import _dial_window_masks
+from meterelf_tpu.pipeline.decode import _dial_masks_from_packed_window
 
 W = DIAL_WIN
 
@@ -45,11 +45,20 @@ def corpus_masks(sdir):
         scores = template_ops.match_template_scores_matmul(
             lightness, pa.template_u8, tmean)
         _, mx, my = template_ops.locate(scores)
+        packed = (c_u8[..., 0].astype(jnp.int32)
+                  | (c_u8[..., 1].astype(jnp.int32) << 8)
+                  | (c_u8[..., 2].astype(jnp.int32) << 16))
+
+        def window(img_pk, x, y, i):
+            return jax.lax.dynamic_slice(
+                img_pk, (y + pa.win_origin[i][1], x + pa.win_origin[i][0]),
+                (W, W))
+
         m, c = jax.vmap(lambda img, x, y: jax.vmap(
-            lambda i: _dial_window_masks(
-                img, x, y, pa.color_range[i], pa.centers_int[i],
-                pa.win_origin[i], pa.mask_full[i], pa.hue_shift))
-            (jnp.arange(D)))(planar, mx, my)
+            lambda i: _dial_masks_from_packed_window(
+                window(img, x, y, i), pa.color_range[i], pa.centers_int[i],
+                pa.mask_full[i], pa.hue_shift))
+            (jnp.arange(D)))(packed, mx, my)
         return m, c
 
     m, c = masks(pa, crops)

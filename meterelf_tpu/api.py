@@ -163,7 +163,9 @@ def get_meter_values(
 
     def flush(batch: Sequence[str]) -> Iterator[MeterImageData]:
         crops, ok = jpeg_io.load_crops(batch, params.meter_rect, batch_size)
-        res = dec.decode_numpy(crops, ok)
+        pad = (jpeg_io.frontend_pad_hw()
+               if crops.shape[1:3] == (250, 250) else None)
+        res = dec.decode_numpy(jpeg_io.pack_crops(crops, pad_hw=pad), ok)
         for i, fn in enumerate(batch):
             data = result_to_data(fn, res, i, params)
             if data.error is not None:

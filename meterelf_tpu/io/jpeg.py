@@ -148,3 +148,30 @@ def load_crops_threaded(
             crops[i] = c
             ok_out[i] = True
     return crops, ok_out
+
+
+def pack_crops(crops_u8: np.ndarray, pad_hw=None) -> np.ndarray:
+    """[B, H, W, 3] u8 BGR -> [B, H, W] i32 packed (b | g<<8 | r<<16).
+
+    The decode graph's canonical pixel format: one 32-bit word per pixel
+    keeps the minor (vector-lane) dimension an image axis. Packing on
+    the host is ~free next to JPEG decode; packing on the device costs
+    ~3.5 ms per 512-batch (the channel-minor uint8 layout reads 3/128
+    lanes).
+
+    pad_hw=(PH, PW) zero-pads each crop to the Pallas frontend's padded
+    geometry on the host, saving the in-graph pad (~1.3 ms/batch)."""
+    c = crops_u8.astype(np.int32)
+    packed = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+    if pad_hw is not None:
+        B, H, W = packed.shape
+        out = np.zeros((B, pad_hw[0], pad_hw[1]), np.int32)
+        out[:, :H, :W] = packed
+        packed = out
+    return packed
+
+
+def frontend_pad_hw():
+    """The (H, W) padding the Pallas frontend kernel expects."""
+    from ..ops.pallas_frontend import H_PAD, W_PAD
+    return (H_PAD, W_PAD)

@@ -133,6 +133,26 @@ def _any8(x, S, sub, lane):
     return jnp.maximum(ri, jnp.maximum(lf, rt)) > 0
 
 
+def _run_until(k_max: int, body, x0):
+    """Iterate body at most k_max times, exiting as soon as an iteration
+    is a no-op. Propagation passes are idempotent at their fixpoint, so
+    the result is bit-identical to always running k_max passes — but the
+    corpus typically converges in 1-3, and the while exits there."""
+    def cond(c):
+        i, done, _ = c
+        return (i < jnp.int32(k_max)) & jnp.logical_not(done)
+
+    def step(c):
+        i, _, x = c
+        nx = body(x)
+        done = jnp.min((nx == x).astype(jnp.int32)) > 0
+        return (i + jnp.int32(1), done, nx)
+
+    _, _, xf = lax.while_loop(
+        cond, step, (jnp.int32(0), jnp.bool_(False), x0))
+    return xf
+
+
 def _ccl_kernel(bits_ref, okey_ref, conv_ref):
     S = GP * W
     i32 = jnp.int32
@@ -146,13 +166,15 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
 
     # ---- labels ----
     label_rids = _make_rids(~masked, S, sub, lane)
-    labels = jnp.where(masked, idx, BIG)
-    for _ in range(K_LABEL_HYBRID):
+
+    def label_pass(lab):
         lab = jnp.where(
-            masked, jnp.minimum(labels, _min3x3(labels, S, sub, lane, N)),
-            BIG)
+            masked, jnp.minimum(lab, _min3x3(lab, S, sub, lane, N)), BIG)
         lab = _seg_min_sweep(lab, label_rids, S, sub, lane)
-        labels = jnp.where(masked, lab, BIG)
+        return jnp.where(masked, lab, BIG)
+
+    labels = _run_until(
+        K_LABEL_HYBRID, label_pass, jnp.where(masked, idx, BIG))
     eq_lab = (
         jnp.where(masked,
                   jnp.minimum(labels, _min3x3(labels, S, sub, lane, N)), BIG)
@@ -161,21 +183,28 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
     # ---- outside flood ----
     bg = ~masked
     bg_rids = _make_rids(masked, S, sub, lane)
-    outside = bg & ~disk
-    for _ in range(K_OUTSIDE_HYBRID):
-        out = outside | (bg & _any4(outside, S, sub, lane))
-        out = _seg_or_sweep(out, bg_rids, S, sub, lane)
-        outside = out & bg
+
+    # the while carry must be i32 — Mosaic cannot legalize scf.yield of
+    # an i1 vector (experiments: /tmp/while_test.py boolvec)
+    def out_pass_i32(out_i):
+        out = out_i != 0
+        o = out | (bg & _any4(out, S, sub, lane))
+        o = _seg_or_sweep(o, bg_rids, S, sub, lane)
+        return (o & bg).astype(i32)
+
+    outside = _run_until(
+        K_OUTSIDE_HYBRID, out_pass_i32, (bg & ~disk).astype(i32)) != 0
     eq_out = (outside | (bg & _any4(outside, S, sub, lane))) == outside
     enclosed = bg & ~outside
     support = masked | enclosed
 
     # ---- hole ownership fill ----
-    owner = jnp.where(masked, labels, BIG)
-    for _ in range(K_FILL):
-        owner = jnp.where(
+    def fill_pass(own):
+        return jnp.where(
             enclosed,
-            jnp.minimum(owner, _min3x3(owner, S, sub, lane, N)), owner)
+            jnp.minimum(own, _min3x3(own, S, sub, lane, N)), own)
+
+    owner = _run_until(K_FILL, fill_pass, jnp.where(masked, labels, BIG))
     eq_fill = (
         jnp.where(enclosed,
                   jnp.minimum(owner, _min3x3(owner, S, sub, lane, N)), owner)

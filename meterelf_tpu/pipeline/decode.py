@@ -54,38 +54,27 @@ class BatchResult(NamedTuple):
     converged: jnp.ndarray        # [B] bool: CCL propagation fixpoint check
 
 
-def _dial_window_masks(
-    planar_bgr: jnp.ndarray,   # [3, ch, cw] u8 (full meter-rect crop)
-    match_x: jnp.ndarray,      # [] i32 template-match location
-    match_y: jnp.ndarray,
+def _dial_masks_from_packed_window(
+    win_pk: jnp.ndarray,       # [W, W] i32 packed BGR (b | g<<8 | r<<16)
     color_range: jnp.ndarray,  # [3] i32
     center_int: jnp.ndarray,   # [2] i32 (window coords)
-    win_origin: jnp.ndarray,   # [2] i32 (template coords)
     mask_full: jnp.ndarray,    # [W, W] bool
     hue_shift,
 ):
-    """Window extraction + exact HLS + inRange + 3x3 close for one dial.
+    """Exact HLS + inRange + 3x3 close for one extracted dial window.
 
-    Slices the dial window STRAIGHT from the full crop at
-    match_loc + win_origin — materializing the intermediate [th, tw, 3]
-    dials crop per image cost ~8 ms/batch for no benefit. Planar (3, H,
-    W) layout keeps lanes on an image axis (a channel-minor uint8 layout
-    wastes 125/128 of each vector register)."""
-    W = DIAL_WIN
-    window = lax.dynamic_slice(
-        planar_bgr,
-        (jnp.int32(0), match_y + win_origin[1], match_x + win_origin[0]),
-        (3, W, W),
-    )
-    # exact HLS on the window only (the full crop needs just L for the
-    # template matcher): ~4x less colorspace + hue/sat work per image
+    Works on the packed-BGR representation (one i32 word per pixel):
+    a channel-minor uint8 layout wastes 125/128 of each vector register,
+    and packing is done once on the host. The unpack fuses into the HLS
+    compares; the 5x5 dial-center color sample keeps the reference's
+    integer-exact rounding (round(S/25) has no ties, _reading.py:154-160).
+    """
     h, l, s = color_ops.bgr_planes_to_hls(
-        window[0], window[1], window[2], hue_shift)
+        (win_pk & 255).astype(jnp.uint8),
+        ((win_pk >> 8) & 255).astype(jnp.uint8),
+        ((win_pk >> 16) & 255).astype(jnp.uint8),
+        hue_shift)
     hls_pl = jnp.stack([h, l, s])                         # [3, W, W] i32
-
-    # 5x5 mean color at the dial center (reference _reading.py:154-160);
-    # integer-exact rounding: round(S/25) has no ties, so floor(S/25+.5)
-    # == round-half-even == the reference's int(round(...)).
     core = lax.dynamic_slice(
         hls_pl,
         (jnp.int32(0), center_int[1] - 2, center_int[0] - 2),
@@ -93,13 +82,11 @@ def _dial_window_masks(
     )
     ssum = jnp.sum(core, axis=(1, 2))                     # [3] i32
     dial_color = (2 * ssum + 25) // 50
-
     lo = jnp.clip(dial_color - color_range, 0, 255)
     hi = jnp.clip(dial_color + color_range, 0, 255)
     raw = jnp.all(
         (hls_pl >= lo[:, None, None]) & (hls_pl <= hi[:, None, None]),
         axis=0)
-
     closed = morph_ops.close3(raw)
     masked = closed & mask_full
     return masked, closed
@@ -107,47 +94,104 @@ def _dial_window_masks(
 
 def _decode_batch(
     pa: ParamArrays,
-    crops_u8: jnp.ndarray,   # [B, ch, cw, 3] uint8 BGR
+    crops: jnp.ndarray,      # [B, ch, cw] i32 packed BGR, or [B,ch,cw,3] u8
     load_ok: jnp.ndarray,    # [B] bool
     *,
     conv_precision,
     sum_dtype=None,
+    static_win_origin=None,  # ((ox, oy) per dial) as python ints, or None
+    static_crop_hw=None,     # true (H, W) of the meter crop, or None
 ) -> BatchResult:
     th, tw = pa.template_zm.shape
     D = pa.mask_full.shape[0]
     W = DIAL_WIN
-    B = crops_u8.shape[0]
+    B = crops.shape[0]
 
-    planar = jnp.transpose(crops_u8, (0, 3, 1, 2))       # [B, 3, ch, cw]
-    lightness = color_ops.lightness_from_planes(
-        planar[:, 0], planar[:, 1], planar[:, 2]).astype(jnp.float32)
-    if conv_precision in ("matmul", "pallas"):
-        tsum = jnp.sum(pa.template_u8.astype(jnp.int32))
-        tmean = tsum.astype(jnp.float32) / jnp.float32(th * tw)
-        if (conv_precision == "pallas"
-                and lightness.shape[1:] == (250, 250)
-                and pa.template_u8.shape == (119, 188)):
-            from ..ops.pallas_match2 import match_scores_pallas_fused
-            scores = match_scores_pallas_fused(
-                lightness, pa.template_u8, tmean)
-        else:
-            scores = template_ops.match_template_scores_matmul(
-                lightness, pa.template_u8, tmean)
+    # canonical internal format: one i32 word per pixel (b|g<<8|r<<16).
+    # The host feeder packs (and optionally pads to the Pallas frontend
+    # geometry) for free; u8 channel-last input (API compat) is packed
+    # in-graph (~3.5 ms/batch — prefer feeding packed).
+    if crops.ndim == 4:
+        c32 = crops.astype(jnp.int32)
+        packed = c32[..., 0] | (c32[..., 1] << 8) | (c32[..., 2] << 16)
     else:
-        scores = template_ops.match_template_scores(
-            lightness, pa.template_zm, precision=conv_precision)
-    max_val, mx, my = template_ops.locate(scores)
+        packed = crops
+    crop_hw = tuple(static_crop_hw or ())
+    if not crop_hw or crops.ndim == 4:
+        crop_hw = tuple(crops.shape[1:3])
 
-    # stage A: per-(image, dial) window masks (cheap VPU work, vmapped)
-    masked, closed = jax.vmap(  # over batch
-        lambda img, x, y: jax.vmap(  # over dials
-            lambda i: _dial_window_masks(
-                img, x, y,
-                pa.color_range[i], pa.centers_int[i], pa.win_origin[i],
-                pa.mask_full[i], pa.hue_shift,
-            )
-        )(jnp.arange(D))
-    )(planar, mx, my)                                    # [B, D, W, W]
+    from ..ops.pallas_frontend import H_PAD as _FE_H, W_PAD as _FE_W
+    use_frontend = (
+        conv_precision == "pallas"
+        and crop_hw == (250, 250)
+        and packed.shape[1:3] in ((250, 250), (_FE_H, _FE_W))
+        and pa.template_u8.shape == (119, 188)
+        and static_win_origin is not None
+        and len(static_win_origin) == D
+    )
+
+    tsum = jnp.sum(pa.template_u8.astype(jnp.int32))
+    tmean = tsum.astype(jnp.float32) / jnp.float32(th * tw)
+
+    if use_frontend:
+        # fused Pallas frontend: packed image -> scores+argmax+superwindow
+        from ..ops.pallas_frontend import frontend_pallas
+        max_val, mx, my, sw = frontend_pallas(packed, pa.template_u8, tmean)
+
+        # dial windows at STATIC offsets within the superwindow
+        masked_l, closed_l = [], []
+        for i in range(D):
+            ox, oy = static_win_origin[i]
+            win_pk = sw[:, oy:oy + W, ox:ox + W]          # [B, W, W]
+            m, c = jax.vmap(
+                lambda wp, i=i: _dial_masks_from_packed_window(
+                    wp, pa.color_range[i], pa.centers_int[i],
+                    pa.mask_full[i], pa.hue_shift)
+            )(win_pk)
+            masked_l.append(m)
+            closed_l.append(c)
+        masked = jnp.stack(masked_l, axis=1)              # [B, D, W, W]
+        closed = jnp.stack(closed_l, axis=1)
+    else:
+        if packed.shape[1:3] != crop_hw:  # strip host-side frontend pad
+            packed = packed[:, :crop_hw[0], :crop_hw[1]]
+        b_pl = (packed & 255).astype(jnp.uint8)
+        g_pl = ((packed >> 8) & 255).astype(jnp.uint8)
+        r_pl = ((packed >> 16) & 255).astype(jnp.uint8)
+        lightness = color_ops.lightness_from_planes(
+            b_pl, g_pl, r_pl).astype(jnp.float32)
+        if conv_precision in ("matmul", "pallas"):
+            if (conv_precision == "pallas"
+                    and lightness.shape[1:] == (250, 250)
+                    and pa.template_u8.shape == (119, 188)):
+                from ..ops.pallas_match2 import match_scores_pallas_fused
+                scores = match_scores_pallas_fused(
+                    lightness, pa.template_u8, tmean)
+            else:
+                scores = template_ops.match_template_scores_matmul(
+                    lightness, pa.template_u8, tmean)
+        else:
+            scores = template_ops.match_template_scores(
+                lightness, pa.template_zm, precision=conv_precision)
+        max_val, mx, my = template_ops.locate(scores)
+
+        # per-(image, dial) window masks: one single-channel dynamic
+        # slice from the packed image per window, then fused unpack+HLS
+        def window(img_pk, x, y, i):
+            return lax.dynamic_slice(
+                img_pk,
+                (y + pa.win_origin[i][1], x + pa.win_origin[i][0]),
+                (W, W))
+
+        masked, closed = jax.vmap(  # over batch
+            lambda img, x, y: jax.vmap(  # over dials
+                lambda i: _dial_masks_from_packed_window(
+                    window(img, x, y, i),
+                    pa.color_range[i], pa.centers_int[i],
+                    pa.mask_full[i], pa.hue_shift,
+                )
+            )(jnp.arange(D))
+        )(packed, mx, my)                                # [B, D, W, W]
 
     # stage B: ONE batched component analysis over all B*D windows
     # (analyze_batch packs window pairs to full 128-lane rows)
@@ -275,11 +319,18 @@ class MeterDecoder:
                 **{k: getattr(pa, k).astype(np.float32) for k in f32})
         self.param_arrays = pa
         self.crop_shape = (params.meter_rect.height, params.meter_rect.width, 3)
+        # window origins as static python ints: lets the Pallas frontend
+        # path slice dial windows from the superwindow at compile time
+        win_origin_static = tuple(
+            (int(x), int(y)) for x, y in np.asarray(pa.win_origin))
         self._fn = jax.jit(
             functools.partial(
                 _decode_batch,
                 conv_precision=conv_precision,
                 sum_dtype=jnp.float64,
+                static_win_origin=win_origin_static,
+                static_crop_hw=(params.meter_rect.height,
+                                params.meter_rect.width),
             )
         )
 
