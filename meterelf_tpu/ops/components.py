@@ -171,6 +171,10 @@ def analyze_batch(
     closed: jnp.ndarray,     # [K, W, W] bool
     disk: jnp.ndarray,       # [K, W, W] bool
     impl: str = "xla",       # "xla" | "pallas" (TPU-only) | "pallas_interpret"
+    static_bbox=None,        # (((ox, oy) per dial), SB): static sub-box that
+                             # provably contains every disk pixel; shrinks the
+                             # stats sort from W*W to SB*SB keys per window.
+                             # K must then be a multiple of len(origins).
 ) -> ComponentResult:
     """Batched component analysis. impl="pallas" runs the propagation
     passes in one fused VMEM-resident kernel (ops/pallas_ccl.py); the
@@ -181,7 +185,8 @@ def analyze_batch(
             masked, disk, interpret=impl.endswith("interpret"))
     else:
         okey, converged = _propagate_xla(masked, disk)
-    return _finalize(okey, masked, closed, converged)
+    return _finalize(okey, masked, closed, converged,
+                     static_bbox=static_bbox)
 
 
 def _propagate_xla(
@@ -264,6 +269,7 @@ def _finalize(
     masked: jnp.ndarray,     # [K, W, W] bool
     closed: jnp.ndarray,     # [K, W, W] bool
     converged: jnp.ndarray,  # [K] bool
+    static_bbox=None,
 ) -> ComponentResult:
     K, W, _ = okey.shape
     N = W * W
@@ -271,7 +277,22 @@ def _finalize(
     # ---- per-component statistics via ONE u16 sort + prefix scans ----
     # key = owner*4 + masked*2 + boundary <= 4*N + 3 < 2^16.
     # Run order within a key is irrelevant (only run totals are used).
-    packed = okey.reshape(K, N)
+    # Every support pixel lies inside the dial disk, so when the caller
+    # provides a static per-dial bounding box the sort covers SB*SB keys
+    # instead of W*W (out-of-box pixels all carry the non-support key and
+    # contribute nothing to any run total).
+    if static_bbox is not None:
+        origins, SB = static_bbox
+        D = len(origins)
+        ok4 = okey.reshape(K // D, D, W, W)
+        packed = jnp.stack(
+            [ok4[:, i, oy:oy + SB, ox:ox + SB]
+             for i, (ox, oy) in enumerate(origins)], axis=1,
+        ).reshape(K, SB * SB)
+        NS = SB * SB
+    else:
+        packed = okey.reshape(K, N)
+        NS = N
 
     (spk16,) = lax.sort(
         (packed.astype(jnp.uint16),), dimension=1, num_keys=1)
@@ -280,7 +301,7 @@ def _finalize(
 
     nxt = jnp.concatenate([sk[:, 1:], jnp.full((K, 1), -1, sk.dtype)], 1)
     run_end = sk != nxt
-    pos1 = lax.broadcasted_iota(jnp.int32, (K, N), 1) + 1
+    pos1 = lax.broadcasted_iota(jnp.int32, (K, NS), 1) + 1
 
     # one packed cumsum carries both the masked count (C, low 16 bits)
     # and the boundary count (B, high bits); each <= N = 2^12

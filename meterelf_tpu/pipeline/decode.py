@@ -101,6 +101,7 @@ def _decode_batch(
     sum_dtype=None,
     static_win_origin=None,  # ((ox, oy) per dial) as python ints, or None
     static_crop_hw=None,     # true (H, W) of the meter crop, or None
+    static_bbox=None,        # per-dial stats bounding box (see analyze_batch)
 ) -> BatchResult:
     th, tw = pa.template_zm.shape
     D = pa.mask_full.shape[0]
@@ -203,6 +204,7 @@ def _decode_batch(
         # the fused VMEM-resident propagation kernel is TPU-only; ride
         # the same platform switch as the correlation kernel
         impl="pallas" if conv_precision == "pallas" else "xla",
+        static_bbox=static_bbox,
     )
     has_any = comp.has_any.reshape(B, D)
     conv = comp.converged.reshape(B, D)
@@ -276,6 +278,24 @@ def _decode_batch(
     )
 
 
+def _stats_bbox(mask_full: np.ndarray, sb: int = 48):
+    """Static per-dial sub-box containing every disk pixel, for the
+    component-stats sort (analyze_batch static_bbox). None when any
+    dial's disk doesn't fit — the general full-window path then runs."""
+    D, W, _ = mask_full.shape
+    origins = []
+    for i in range(D):
+        ys, xs = np.nonzero(np.asarray(mask_full[i]))
+        if len(xs) == 0:
+            return None
+        ox = int(min(xs.min(), W - sb))
+        oy = int(min(ys.min(), W - sb))
+        if xs.max() >= ox + sb or ys.max() >= oy + sb:
+            return None
+        origins.append((ox, oy))
+    return (tuple(origins), sb)
+
+
 def default_conv_precision() -> str:
     """Pick the correlation implementation for the current default
     device: the Pallas kernel on TPU, the XLA matmul formulation
@@ -331,6 +351,7 @@ class MeterDecoder:
                 static_win_origin=win_origin_static,
                 static_crop_hw=(params.meter_rect.height,
                                 params.meter_rect.width),
+                static_bbox=_stats_bbox(pa.mask_full),
             )
         )
 
