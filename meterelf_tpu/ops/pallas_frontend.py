@@ -1,25 +1,47 @@
-"""Third-generation Pallas frontend kernel: packed-BGR image in, final
+"""Fourth-generation Pallas frontend kernel: packed-BGR image in, final
 match scores + argmax location + dial-cluster superwindow out.
 
 Fuses everything between JPEG crops and the per-dial window masks:
 
   1. unpack BGR from one i32 word per pixel (b | g<<8 | r<<16) — the
      host/XLA packs once; a channel-minor uint8 layout wastes 125/128
-     of each vреgister and a planar layout costs a 96 MB relayout;
+     of each vregister and a planar layout costs a 96 MB relayout;
   2. the exact cv2 lightness channel (f32 mul/add/rint only — the
      H/S channels need IEEE-exact division, which requires f64 emulation
      and stays in XLA on the 64x64 windows where it fuses for free);
-  3. the TM_CCOEFF correlation + integral-image boxsum of
-     pallas_match2;
-  4. in-kernel argmax with the reference's first-max row-major
-     tie-break (meterelf/_utils.py:91-97 via cv2.minMaxLoc);
-  5. dynamic rotation of the packed image by (my, mx) — uniform-shift
+  3. the TM_CCOEFF correlation on the **int8 MXU**: both operands are
+     shifted by -128 (L-128 and T-128 fit int8 exactly), so the MXU
+     accumulates the correlation in int32 EXACTLY (no f32 ordering
+     error at all), at 2x the bf16 rate.  The -128 cross terms fold
+     into the window boxsum:
+         corr = corr8 + 128*box + 128*Tsum - 128^2*N
+         scores = corr - tmean*box = corr8 + (128 - tmean)*box'
+     where box' = box - 128*N is the boxsum of L-128 (the constant
+     terms cancel EXACTLY: 128*Tsum - 128^2*N + 128*N*(128 - Tsum/N)
+     = 0).  |box'| < 2^24 so its f32 image is exact; the final scores
+     see exactly ONE f32 rounding (the c1*box' multiply-add) — tighter
+     than cv2 3.4's own f32 DFT pipeline (SURVEY.md §8bis.4).
+  4. the x-offset loop is batched 32 columns per matmul through a
+     [4096, 256] bank of column-shifted template copies (block d rows
+     hold T[TH-1-s, c-d]); the template is ROW-REVERSED so that the
+     per-column diagonal reduction corr[y] = sum_s rx[s, y + TH-1 - s]
+     is ONE strided lane-rotate (tpu.dynamic_rotate stride=1 across
+     sublanes, per-vreg spread 127 <= 128) + a sublane sum, instead of
+     7 masked log-shift passes;
+  5. the boxsum itself is an MXU job too: one [64, 320] static ones-
+     bank matmul gives the 188-wide row-window sums, and an 8-pass lane
+     prefix on the small [64, 256] result finishes the 119-tall column;
+  6. in-kernel argmax with the reference's first-max row-major
+     tie-break (meterelf/_utils.py:91-97 via cv2.minMaxLoc), computed
+     in the transposed [OW, 256] orientation (x on sublanes);
+  7. dynamic rotation of the packed image by (my, mx) — uniform-shift
      tpu.dynamic_rotate, the one dynamic indexing Mosaic supports — so
      the 136x256 superwindow containing all dial windows lands at a
      static position for zero-cost downstream slicing.
 
-Replaced XLA stages measured 2.2 ms (planar+L) + 6.9 ms (window gather)
-per 512-batch; the scorer itself is unchanged from pallas_match2.
+Measured on v5e (B=512, experiments/frontend_prof2.py): 7.7 ms/batch
+for the gen-3 bf16 kernel -> 5.4 ms for this one, argmax bit-identical
+on the full sample corpus.
 """
 from __future__ import annotations
 
@@ -32,12 +54,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 H_PAD = 264   # padded image rows (250 + superwindow slack, mult of 8)
 W_PAD = 384   # padded image cols (lane rotates need a 128-multiple width)
-R_PAD = 128
-K_PAD = 192
 OH, OW, TH, TW = 132, 63, 119, 188
 OH_PAD = 136
 SW_H = 136    # superwindow rows  (>= TH + margin, mult of 8)
 SW_W = 256    # superwindow cols  (>= TW + margin, mult of 128)
+BANK_M = 4096  # 32 column-shifted template copies x 128 padded rows
 
 
 def _prefix_sum(x, axis):
@@ -51,64 +72,73 @@ def _prefix_sum(x, axis):
     return x
 
 
-def _frontend_kernel(img_ref, t_ref, tmean_ref, sw_ref, stat_ref):
+def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref):
     """img_ref: [H_PAD, W_PAD] i32 packed BGR (zero padded).
-    t_ref: [R_PAD, K_PAD] f32. tmean_ref: [1] f32 SMEM.
-    sw_ref: [SW_H, SW_W] i32 superwindow. stat_ref: [8, 128] f32."""
+    bank_ref: [BANK_M, 256] i8 shifted-template bank. c1_ref: [1] f32
+    SMEM = 128 - template_mean. sw_ref: [SW_H, SW_W] i32 superwindow.
+    stat_ref: [8, 128] f32."""
     i32 = jnp.int32
     f32 = jnp.float32
 
     v = img_ref[...]
-    b = (v & i32(255)).astype(f32)
-    g = ((v >> 8) & i32(255)).astype(f32)
-    r = ((v >> 16) & i32(255)).astype(f32)
+    v256 = v[0:256, 0:256]
+    b = (v256 & i32(255)).astype(f32)
+    g = ((v256 >> 8) & i32(255)).astype(f32)
+    r = ((v256 >> 16) & i32(255)).astype(f32)
     # exact cv2 L channel (ops/color.py lightness_from_planes semantics)
     scale = f32(1.0) / f32(255.0)
     bs, gs, rs = b * scale, g * scale, r * scale
     vmax = jnp.maximum(jnp.maximum(rs, gs), bs)
     vmin = jnp.minimum(jnp.minimum(rs, gs), bs)
-    limg = jnp.clip(jnp.round((vmax + vmin) * f32(0.5) * f32(255.0)),
-                    f32(0.0), f32(255.0))          # [H_PAD, W_PAD] f32
+    l256 = jnp.clip(jnp.round((vmax + vmin) * f32(0.5) * f32(255.0)),
+                    f32(0.0), f32(255.0))           # [256, 256] f32
 
-    # ---- correlation (pallas_match2 structure) ----
-    lane_r = lax.broadcasted_iota(i32, (256, R_PAD), 1)
-    valid = lane_r < i32(TH)
-    # matcher works on the 256x256 region (image is 250x250 + zeros)
-    l256 = limg[0:256, 0:256]
-    lt_bf16 = jnp.transpose(l256).astype(jnp.bfloat16)
-    t_bf16 = t_ref[...].astype(jnp.bfloat16)
+    # ---- correlation on the int8 MXU (transposed orientation) ----
+    ltf = jnp.transpose(l256)                       # [col, row] f32
+    lt8 = jnp.concatenate(
+        [(ltf.astype(i32) - i32(128)).astype(jnp.int8),
+         jnp.zeros((64, 256), jnp.int8)], axis=0)   # [320, 256] L-128
+    bank = bank_ref[...]
+
     cols = []
-    for x in range(OW):
-        sl = lt_bf16[x:x + K_PAD, :]
+    for x32 in range(0, 64, 32):
+        sl = lt8[x32:x32 + 256, :]
         rx = lax.dot_general(
-            sl, t_bf16, dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=f32)
-        for bb in range(7):
-            shift = 1 << bb
-            rolled = pltpu.roll(rx, i32(256 - shift), 0)
-            rx = jnp.where((lane_r & i32(shift)) != i32(0), rolled, rx)
-        col = jnp.sum(jnp.where(valid, rx, f32(0.0)),
-                      axis=1, keepdims=True)
-        cols.append(col[:OH_PAD, :])
-    corr = jnp.concatenate(cols, axis=1)            # [OH_PAD, OW]
+            bank, sl,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=i32)             # [BANK_M, 256] i32
+        for d in range(32):
+            blk = rx[d * 128:(d + 1) * 128, :]
+            # corr[y, x32+d] = sum_s blk[s, y + TH-1 - s]: one strided
+            # rotate (shift_s = s) + sublane sum; output lane y + TH-1
+            rr = pltpu.roll(blk, 0, 1, stride=1, stride_axis=0)
+            cols.append(jnp.sum(rr, axis=0, keepdims=True))
+    corrT_raw = jnp.concatenate(cols, axis=0)[0:OW, :]
+    corrT = pltpu.roll(corrT_raw, 256 - (TH - 1), 1).astype(f32)
 
-    cs = _prefix_sum(_prefix_sum(l256, 0), 1)
-    sub = lax.broadcasted_iota(i32, (256, 256), 0)
-    cs_r = jnp.where(sub >= 1, pltpu.roll(cs, 1, 0), f32(0.0))
-    d = cs[TH - 1:TH - 1 + OH_PAD, :] - cs_r[0:OH_PAD, :]
-    lane_d = lax.broadcasted_iota(i32, (OH_PAD, 256), 1)
-    d_l = jnp.where(lane_d >= 1, pltpu.roll(d, 1, 1), f32(0.0))
-    box = d[:, TW - 1:TW - 1 + OW] - d_l[:, 0:OW]
-    scores = corr - tmean_ref[0] * box              # [OH_PAD, OW]
+    # ---- boxsum of L-128 via a static ones-bank matmul ----
+    ob_r = lax.broadcasted_iota(i32, (64, 320), 0)
+    ob_c = lax.broadcasted_iota(i32, (64, 320), 1)
+    obank = ((ob_c >= ob_r) & (ob_c < ob_r + i32(TW))).astype(jnp.int8)
+    rt = lax.dot_general(
+        obank, lt8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=i32)                 # [64, 256] row sums
+    cs = _prefix_sum(rt, 1)
+    top = pltpu.roll(cs, 256 - (TH - 1), 1)         # cs[., y + TH-1]
+    bot = pltpu.roll(cs, 1, 1)                      # cs[., y - 1]
+    yl64 = lax.broadcasted_iota(i32, (64, 256), 1)
+    boxT = (top - jnp.where(yl64 >= 1, bot, i32(0)))[0:OW, :]
+    scoresT = corrT + c1_ref[0] * boxT.astype(f32)  # [OW, 256]
 
-    # ---- argmax with first-max row-major tie-break ----
-    ssub = lax.broadcasted_iota(i32, (OH_PAD, OW), 0)
-    slane = lax.broadcasted_iota(i32, (OH_PAD, OW), 1)
-    in_range = ssub < i32(OH)                       # OW == 63 exactly
+    # ---- argmax with first-max row-major tie-break (x on sublanes) ----
+    xr = lax.broadcasted_iota(i32, (OW, 256), 0)
+    yl = lax.broadcasted_iota(i32, (OW, 256), 1)
+    in_range = yl < i32(OH)
     neg = f32(-3.0e38)
-    smask = jnp.where(in_range, scores, neg)
+    smask = jnp.where(in_range, scoresT, neg)
     max_val = jnp.max(smask)
-    flat = ssub * i32(OW) + slane
+    flat = yl * i32(OW) + xr
     cand = jnp.where(smask == max_val, flat, i32(OH_PAD * OW))
     sel = jnp.min(cand)
     my = sel // i32(OW)
@@ -127,10 +157,22 @@ def _frontend_kernel(img_ref, t_ref, tmean_ref, sw_ref, stat_ref):
     stat_ref[...] = stat
 
 
+def _template_bank(template_u8: jnp.ndarray) -> jnp.ndarray:
+    """[BANK_M, 256] int8 bank: block d (rows d*128..) holds the
+    row-reversed, -128-shifted template at column offset d:
+    bank[d*128 + s, c] = T[TH-1-s, c-d] - 128 (0 off-support)."""
+    t_rev = (template_u8[::-1].astype(jnp.int32) - 128).astype(jnp.int8)
+    blocks = [
+        jnp.pad(t_rev, ((0, 128 - TH), (d, 256 - TW - d)))
+        for d in range(32)
+    ]
+    return jnp.concatenate(blocks, axis=0)
+
+
 def frontend_pallas(
     packed_img: jnp.ndarray,    # [B, H, W] i32 packed BGR
     template_u8: jnp.ndarray,   # [th, tw]
-    template_mean,              # f32 scalar
+    template_mean,              # f32 scalar (Tsum / (th*tw))
     interpret: bool = False,
 ):
     """-> (max_val [B] f32, mx [B] i32, my [B] i32,
@@ -146,11 +188,11 @@ def frontend_pallas(
         img_pad = jnp.zeros((B, H_PAD, W_PAD), jnp.int32)
         img_pad = img_pad.at[:, :H, :W].set(packed_img)
         img_pad = img_pad.reshape(B * H_PAD, W_PAD)
-    t_pad = jnp.zeros((R_PAD, K_PAD), jnp.float32)
-    t_pad = t_pad.at[:th, :tw].set(template_u8.astype(jnp.float32))
-    tmean = jnp.asarray(template_mean, jnp.float32).reshape(1)
+    c1 = (jnp.float32(128.0)
+          - jnp.asarray(template_mean, jnp.float32)).reshape(1)
 
     with jax.enable_x64(False):
+        bank = _template_bank(template_u8)
         sw, stat = pl.pallas_call(
             _frontend_kernel,
             out_shape=(
@@ -161,7 +203,7 @@ def frontend_pallas(
             in_specs=[
                 pl.BlockSpec((H_PAD, W_PAD), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((R_PAD, K_PAD), lambda i: (0, 0),
+                pl.BlockSpec((BANK_M, 256), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -172,7 +214,7 @@ def frontend_pallas(
                              memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
-        )(img_pad, t_pad, tmean)
+        )(img_pad, bank, c1)
 
     sw = sw.reshape(B, SW_H, SW_W)
     stat = stat.reshape(B, 8, 128)
