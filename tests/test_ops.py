@@ -163,3 +163,74 @@ def test_fused_matcher_matches_v1_plus_boxsum():
     v2 = jax.jit(functools.partial(pm2.match_scores_pallas_fused,
                                    interpret=interpret))(L, T, tmean)
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_int8_frontend_kernel_exact():
+    """The fused int8-MXU frontend (ops/pallas_frontend.py) must produce
+    the argmax of the EXACT integer TM_CCOEFF decomposition, the exact
+    single-rounded f32 score, and a correctly rotated superwindow.
+
+    Reference is straight int64 numpy: corr8 = sum (L-128)(T-128),
+    box' = window sum of (L-128), scores = f32(corr8) + f32(c1*box')
+    (the kernel's exact op sequence). Replaces the kernel's old bf16
+    path which had order-dependent f32 accumulation."""
+    from meterelf_tpu import synthetic
+    from meterelf_tpu.ops import pallas_frontend as fe
+    from meterelf_tpu.ops import color as color_ops
+
+    import os
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    interpret = dev.platform != "tpu"
+    if interpret and not os.environ.get("METERELF_FULL_GOLDEN"):
+        pytest.skip("interpret-mode compile of the 64-column kernel takes "
+                    "minutes on CPU: set METERELF_FULL_GOLDEN=1 (runs "
+                    "always on TPU)")
+
+    crops = synthetic.render_crops([[1.0, 3.5, 7.2, 9.9]])  # [1,250,250,3]
+    tmpl = synthetic.make_template()                        # [119,188] u8
+    c32 = crops.astype(np.int64)
+    packed = (c32[..., 0] | (c32[..., 1] << 8)
+              | (c32[..., 2] << 16)).astype(np.int32)
+    tsum = int(tmpl.astype(np.int64).sum())
+    tmean = np.float32(np.float64(tsum) / tmpl.size)
+
+    # tracing the 64-column unrolled kernel with jax_default_device set
+    # segfaults (C-stack overflow in the placement wrapper); the platform
+    # is already pinned by JAX_PLATFORMS, so clear it around the call
+    prev_dev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", None)
+    try:
+        mv, mx, my, sw = jax.jit(functools.partial(
+            fe.frontend_pallas, interpret=interpret))(
+                jnp.asarray(packed), jnp.asarray(tmpl), tmean)
+        mv, mx, my, sw = jax.tree.map(np.asarray, (mv, mx, my, sw))
+    finally:
+        jax.config.update("jax_default_device", prev_dev)
+
+    # exact numpy reference
+    L = np.asarray(color_ops.lightness_from_planes(
+        jnp.asarray(crops[..., 0]), jnp.asarray(crops[..., 1]),
+        jnp.asarray(crops[..., 2]))).astype(np.int64)       # [2,250,250]
+    t64 = tmpl.astype(np.int64) - 128
+    c1 = np.float32(np.float32(128.0) - tmean)
+    OH, OW, TH, TW = fe.OH, fe.OW, fe.TH, fe.TW
+    for b in range(len(crops)):
+        lp = L[b] - 128
+        view = np.lib.stride_tricks.sliding_window_view(lp, (TH, TW))
+        corr = np.einsum("yxij,ij->yx", view[:OH, :OW], t64)
+        box = np.einsum("yxij->yx", view[:OH, :OW])
+        scores = (corr.astype(np.float32)
+                  + (c1 * box.astype(np.float32)).astype(np.float32))
+        best = np.unravel_index(np.argmax(scores), scores.shape)
+        # first-max row-major tie-break
+        ties = np.argwhere(scores == scores[best])
+        by, bx = ties[np.lexsort((ties[:, 1], ties[:, 0]))][0]
+        assert int(my[b]) == by and int(mx[b]) == bx
+        assert np.float32(mv[b]) == scores[by, bx]
+        # superwindow = packed image rotated so (by, bx) lands at (0, 0)
+        pad = np.zeros((fe.H_PAD, fe.W_PAD), np.int32)
+        pad[:250, :250] = packed[b]
+        rot = np.roll(np.roll(pad, -by, 0), -bx, 1)
+        assert np.array_equal(np.asarray(sw[b]),
+                              rot[:fe.SW_H, :fe.SW_W])
