@@ -173,12 +173,13 @@ def analyze_batch(
     impl: str = "xla",       # "xla" | "pallas" (TPU-only) | "pallas_interpret"
     static_bbox=None,        # (((ox, oy) per dial), SB): static sub-box that
                              # provably contains every disk pixel; shrinks the
-                             # stats sort from W*W to SB*SB keys per window.
+                             # stats domain from W*W to SB*SB keys per window.
                              # K must then be a multiple of len(origins).
+    stats: str = "sort",     # "sort" (u16 sort) | "hist" (MXU histogram)
 ) -> ComponentResult:
     """Batched component analysis. impl="pallas" runs the propagation
     passes in one fused VMEM-resident kernel (ops/pallas_ccl.py); the
-    sort-based stats stage is shared."""
+    stats stage (largest-component selection) is shared."""
     if impl.startswith("pallas"):
         from .pallas_ccl import propagate
         okey, converged = propagate(
@@ -186,7 +187,7 @@ def analyze_batch(
     else:
         okey, converged = _propagate_xla(masked, disk)
     return _finalize(okey, masked, closed, converged,
-                     static_bbox=static_bbox)
+                     static_bbox=static_bbox, stats=stats)
 
 
 def _propagate_xla(
@@ -270,17 +271,17 @@ def _finalize(
     closed: jnp.ndarray,     # [K, W, W] bool
     converged: jnp.ndarray,  # [K] bool
     static_bbox=None,
+    stats: str = "sort",
 ) -> ComponentResult:
     K, W, _ = okey.shape
     N = W * W
 
-    # ---- per-component statistics via ONE u16 sort + prefix scans ----
+    # ---- per-component statistics ----
     # key = owner*4 + masked*2 + boundary <= 4*N + 3 < 2^16.
-    # Run order within a key is irrelevant (only run totals are used).
     # Every support pixel lies inside the dial disk, so when the caller
-    # provides a static per-dial bounding box the sort covers SB*SB keys
+    # provides a static per-dial bounding box the stats cover SB*SB keys
     # instead of W*W (out-of-box pixels all carry the non-support key and
-    # contribute nothing to any run total).
+    # contribute nothing to any component's totals).
     if static_bbox is not None:
         origins, SB = static_bbox
         D = len(origins)
@@ -294,6 +295,86 @@ def _finalize(
         packed = okey.reshape(K, N)
         NS = N
 
+    if stats == "hist":
+        sel, area2_sel = _stats_hist(packed, K, NS, N)
+    else:
+        sel, area2_sel = _stats_sort(packed, K, NS, N)
+
+    big_blob = area2_sel > 200  # contourArea > 100 (reference threshold)
+    owner_key = okey >> 2                       # owner, N at non-support
+    fill_sel = ((owner_key == sel[:, None, None])
+                & (sel[:, None, None] < N))
+    needle_region = jnp.where(big_blob[:, None, None], fill_sel, closed)
+
+    return ComponentResult(
+        has_any=masked.any(axis=(1, 2)),
+        needle_region=needle_region,
+        converged=converged,
+    )
+
+
+def _stats_hist(packed: jnp.ndarray, K: int, NS: int, N: int):
+    """Per-component (F, C, B) via an MXU one-hot histogram.
+
+    owner = hi*64 + lo with hi, lo < 64 (owner = N = 4096 at
+    non-support pixels falls outside the hi range and drops out).  One
+    batched int8 matmul between the hi one-hot [K, 64, NS] and the lo
+    one-hot weighted by the three indicator payloads [K, NS, 3*64]
+    yields all three 64x64 histograms at once, exactly, in i32:
+
+        F[hi, lo] = #support pixels of owner      (one-hot weight 1)
+        C[hi, lo] = #masked pixels of owner       (weight masked-bit)
+        B[hi, lo] = #boundary pixels of owner     (weight boundary-bit)
+
+    Measured on v5e (experiments/stats_prof.py): the one-hot
+    materializations (~300 MB HBM at K=2048) make this SLOWER than the
+    u16 sort in XLA form (4.0 vs 3.1 ms/batch at B=256) — kept as a
+    cross-validated alternative (and the design for an eventual
+    VMEM-resident in-kernel variant, where the one-hots never touch
+    HBM).  Selection key and tie-break are identical to the sort path
+    (area2*N + owner, larger owner wins ties = Python's stable
+    sorted()[-1], reference _reading.py:132-148)."""
+    owner = packed >> 2                          # [K, NS], N at non-support
+    mbit = ((packed >> 1) & 1).astype(jnp.int8)
+    bbit = (packed & 1).astype(jnp.int8)
+    support = (owner < N).astype(jnp.int8)
+    hi = owner >> 6
+    lo = owner & 63
+
+    iota64 = lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
+    a = (hi[:, None, :] == jnp.transpose(iota64, (0, 2, 1))
+         ).astype(jnp.int8)                      # [K, 64, NS]
+    ol = (lo[:, :, None] == iota64).astype(jnp.int8)   # [K, NS, 64]
+    bm = jnp.concatenate(
+        [ol * support[:, :, None], ol * mbit[:, :, None],
+         ol * bbit[:, :, None]], axis=2)         # [K, NS, 192]
+    h = lax.dot_general(
+        a, bm, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)        # [K, 64, 192]
+    f = h[:, :, 0:64].reshape(K, 4096)
+    c = h[:, :, 64:128].reshape(K, 4096)
+    bc = h[:, :, 128:192].reshape(K, 4096)
+
+    area2 = 2 * f - bc - 2
+    cell = lax.broadcasted_iota(jnp.int32, (K, 4096), 1)
+    valid = (f > 0) & (c > 0)
+    key = jnp.where(valid, jnp.maximum(area2, 0) * N + cell, jnp.int32(-1))
+    i_sel = jnp.argmax(key, axis=1)
+    sel = jnp.take_along_axis(cell, i_sel[:, None], 1)[:, 0]
+    area2_sel = jnp.take_along_axis(area2, i_sel[:, None], 1)[:, 0]
+    # component-free window: match the sort path exactly (its single
+    # all-non-support run yields sel = N, area2 = 2*NS-2 > threshold,
+    # so the empty fill mask is selected)
+    any_valid = valid.any(axis=1)
+    sel = jnp.where(any_valid, sel, jnp.int32(N))
+    area2_sel = jnp.where(any_valid, area2_sel, jnp.int32(2 * NS - 2))
+    return sel, area2_sel
+
+
+def _stats_sort(packed: jnp.ndarray, K: int, NS: int, N: int):
+    """Per-component statistics via ONE u16 sort + prefix scans (the
+    pre-histogram path; kept for cross-validation and as a fallback).
+    Run order within a key is irrelevant (only run totals are used)."""
     (spk16,) = lax.sort(
         (packed.astype(jnp.uint16),), dimension=1, num_keys=1)
     spk = spk16.astype(jnp.int32)
@@ -324,15 +405,4 @@ def _finalize(
     i_sel = jnp.argmax(key, axis=1)
     sel = jnp.take_along_axis(sk, i_sel[:, None], 1)[:, 0]          # [K]
     area2_sel = jnp.take_along_axis(area2, i_sel[:, None], 1)[:, 0]
-
-    big_blob = area2_sel > 200  # contourArea > 100 (reference threshold)
-    owner_key = okey >> 2                       # owner, N at non-support
-    fill_sel = ((owner_key == sel[:, None, None])
-                & (sel[:, None, None] < N))
-    needle_region = jnp.where(big_blob[:, None, None], fill_sel, closed)
-
-    return ComponentResult(
-        has_any=masked.any(axis=(1, 2)),
-        needle_region=needle_region,
-        converged=converged,
-    )
+    return sel, area2_sel

@@ -234,3 +234,33 @@ def test_int8_frontend_kernel_exact():
         rot = np.roll(np.roll(pad, -by, 0), -bx, 1)
         assert np.array_equal(np.asarray(sw[b]),
                               rot[:fe.SW_H, :fe.SW_W])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_stats_hist_matches_sort(seed):
+    """The MXU-histogram largest-component selection must be
+    bit-identical to the u16-sort path (including empty windows and
+    area ties)."""
+    rng = np.random.default_rng(seed)
+    W = 64
+    K = 12
+    yy, xx = np.mgrid[:W, :W]
+    disk = (yy - 32) ** 2 + (xx - 32) ** 2 <= 23 ** 2
+    closed = np.zeros((K, W, W), bool)
+    for k in range(K):
+        for _ in range(rng.integers(0, 4)):
+            cy, cx = rng.integers(12, 52, 2)
+            a, b = rng.integers(2, 14, 2)
+            closed[k] |= ((yy - cy) / a) ** 2 + ((xx - cx) / b) ** 2 <= 1.0
+        closed[k] |= rng.random((W, W)) < rng.choice([0.0, 0.02, 0.3])
+    masked = closed & disk
+    diskb = np.broadcast_to(disk, (K, W, W)).copy()
+
+    run = jax.jit(comp_ops.analyze_batch, static_argnames=("impl", "stats"))
+    r_s = run(jnp.asarray(masked), jnp.asarray(closed), jnp.asarray(diskb),
+              impl="xla", stats="sort")
+    r_h = run(jnp.asarray(masked), jnp.asarray(closed), jnp.asarray(diskb),
+              impl="xla", stats="hist")
+    assert np.array_equal(np.asarray(r_s.needle_region),
+                          np.asarray(r_h.needle_region))
+    assert np.array_equal(np.asarray(r_s.has_any), np.asarray(r_h.has_any))
