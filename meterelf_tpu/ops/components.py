@@ -218,11 +218,17 @@ def _propagate_xla(
         lab = _seg_min_sweep(lab, label_walls)
         return jnp.where(masked, lab, BIG)
 
+    # convergence = "the final pass changed nothing": saves the separate
+    # verification pass the old formulation ran after the loop (the caps
+    # carry >=2 passes of margin over the measured corpus fixpoint
+    # distances, so this stricter flag — distance <= cap-1 instead of
+    # <= cap — never fires on the corpus, and still never mislabels:
+    # a non-no-op final pass is flagged, not trusted)
+    prev = labels
     for _ in range(K_LABEL_HYBRID):  # unrolled: fuses across steps
+        prev = labels
         labels = hybrid_pass(labels)
-    labels_eq = (
-        jnp.where(masked, jnp.minimum(labels, _min3x3(labels, BIG)), BIG)
-        == labels)
+    labels_eq = labels == prev
 
     # ---- outside background (bg 4-connected to beyond the dial disk) ----
     bg = ~masked
@@ -234,20 +240,22 @@ def _propagate_xla(
         out = _seg_or_sweep(out, bg_walls)
         return out & bg
 
+    prev_o = outside
     for _ in range(K_OUTSIDE_HYBRID):
+        prev_o = outside
         outside = out_pass(outside)
-    outside_eq = (outside | (bg & _any4(outside))) == outside
+    outside_eq = outside == prev_o
     enclosed = bg & ~outside
     support = masked | enclosed
 
     # ---- assign enclosed holes to their surrounding component ----
     owner = jnp.where(masked, labels, BIG)
+    prev_f = owner
     for _ in range(K_FILL):
+        prev_f = owner
         owner = jnp.where(
             enclosed, jnp.minimum(owner, _min3x3(owner, BIG)), owner)
-    fill_eq = (
-        jnp.where(enclosed, jnp.minimum(owner, _min3x3(owner, BIG)), owner)
-        == owner)
+    fill_eq = owner == prev_f
 
     def conv_per_window(eq):
         return eq.all(axis=(1, 2))

@@ -137,20 +137,28 @@ def _run_until(k_max: int, body, x0):
     """Iterate body at most k_max times, exiting as soon as an iteration
     is a no-op. Propagation passes are idempotent at their fixpoint, so
     the result is bit-identical to always running k_max passes — but the
-    corpus typically converges in 1-3, and the while exits there."""
+    corpus typically converges in 1-3, and the while exits there.
+
+    Returns (x_final, eq_i32): eq is the elementwise (last pass was a
+    no-op) indicator — the per-window convergence evidence, matching the
+    XLA path's (x_cap == x_{cap-1}) flag without the extra verification
+    pass the old formulation spent recomputing a full pass after the
+    loop."""
     def cond(c):
-        i, done, _ = c
+        i, done, _, _ = c
         return (i < jnp.int32(k_max)) & jnp.logical_not(done)
 
     def step(c):
-        i, _, x = c
+        i, _, x, _ = c
         nx = body(x)
-        done = jnp.min((nx == x).astype(jnp.int32)) > 0
-        return (i + jnp.int32(1), done, nx)
+        eq = (nx == x).astype(jnp.int32)
+        done = jnp.min(eq) > 0
+        return (i + jnp.int32(1), done, nx, eq)
 
-    _, _, xf = lax.while_loop(
-        cond, step, (jnp.int32(0), jnp.bool_(False), x0))
-    return xf
+    _, _, xf, eqf = lax.while_loop(
+        cond, step,
+        (jnp.int32(0), jnp.bool_(False), x0, jnp.zeros_like(x0, jnp.int32)))
+    return xf, eqf
 
 
 def _ccl_kernel(bits_ref, okey_ref, conv_ref):
@@ -173,12 +181,8 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
         lab = _seg_min_sweep(lab, label_rids, S, sub, lane)
         return jnp.where(masked, lab, BIG)
 
-    labels = _run_until(
+    labels, eq_lab = _run_until(
         K_LABEL_HYBRID, label_pass, jnp.where(masked, idx, BIG))
-    eq_lab = (
-        jnp.where(masked,
-                  jnp.minimum(labels, _min3x3(labels, S, sub, lane, N)), BIG)
-        == labels)
 
     # ---- outside flood ----
     bg = ~masked
@@ -192,9 +196,9 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
         o = _seg_or_sweep(o, bg_rids, S, sub, lane)
         return (o & bg).astype(i32)
 
-    outside = _run_until(
-        K_OUTSIDE_HYBRID, out_pass_i32, (bg & ~disk).astype(i32)) != 0
-    eq_out = (outside | (bg & _any4(outside, S, sub, lane))) == outside
+    outside_i, eq_out = _run_until(
+        K_OUTSIDE_HYBRID, out_pass_i32, (bg & ~disk).astype(i32))
+    outside = outside_i != 0
     enclosed = bg & ~outside
     support = masked | enclosed
 
@@ -204,11 +208,8 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
             enclosed,
             jnp.minimum(own, _min3x3(own, S, sub, lane, N)), own)
 
-    owner = _run_until(K_FILL, fill_pass, jnp.where(masked, labels, BIG))
-    eq_fill = (
-        jnp.where(enclosed,
-                  jnp.minimum(owner, _min3x3(owner, S, sub, lane, N)), owner)
-        == owner)
+    owner, eq_fill = _run_until(
+        K_FILL, fill_pass, jnp.where(masked, labels, BIG))
 
     # ---- outputs ----
     boundary = masked & _any8(outside, S, sub, lane)
@@ -217,7 +218,7 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
     okey_ref[...] = okey
 
     # bool multi-reductions don't lower in Mosaic; use i32 min-reduce
-    eq = (eq_lab & eq_out & eq_fill).astype(i32)
+    eq = eq_lab & eq_out & eq_fill
     red = jnp.min(eq.reshape(GP, W, 128), axis=1)          # [GP, 128]
     lane_full = lax.broadcasted_iota(i32, (GP, 128), 1)
     left = jnp.min(

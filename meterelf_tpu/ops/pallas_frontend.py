@@ -94,9 +94,10 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref):
                     f32(0.0), f32(255.0))           # [256, 256] f32
 
     # ---- correlation on the int8 MXU (transposed orientation) ----
-    ltf = jnp.transpose(l256)                       # [col, row] f32
+    # convert to int8 BEFORE transposing: 4x less data to shuffle
+    l8 = (l256.astype(i32) - i32(128)).astype(jnp.int8)
     lt8 = jnp.concatenate(
-        [(ltf.astype(i32) - i32(128)).astype(jnp.int8),
+        [jnp.transpose(l8),
          jnp.zeros((64, 256), jnp.int8)], axis=0)   # [320, 256] L-128
     bank = bank_ref[...]
 
