@@ -57,7 +57,10 @@ class BatchResult(NamedTuple):
 def _dial_masks_from_packed_window(
     win_pk: jnp.ndarray,       # [W, W] i32 packed BGR (b | g<<8 | r<<16)
     color_range: jnp.ndarray,  # [3] i32
-    center_int: jnp.ndarray,   # [2] i32 (window coords)
+    center_int,                # [2] i32 (window coords), or (x, y) python
+                               # ints — static centers turn the 5x5 color
+                               # sample into a fused static slice instead
+                               # of a per-window gather
     mask_full: jnp.ndarray,    # [W, W] bool
     hue_shift,
 ):
@@ -75,11 +78,15 @@ def _dial_masks_from_packed_window(
         ((win_pk >> 16) & 255).astype(jnp.uint8),
         hue_shift)
     hls_pl = jnp.stack([h, l, s])                         # [3, W, W] i32
-    core = lax.dynamic_slice(
-        hls_pl,
-        (jnp.int32(0), center_int[1] - 2, center_int[0] - 2),
-        (3, 5, 5),
-    )
+    if isinstance(center_int, tuple):
+        cx, cy = center_int
+        core = hls_pl[:, cy - 2:cy + 3, cx - 2:cx + 3]
+    else:
+        core = lax.dynamic_slice(
+            hls_pl,
+            (jnp.int32(0), center_int[1] - 2, center_int[0] - 2),
+            (3, 5, 5),
+        )
     ssum = jnp.sum(core, axis=(1, 2))                     # [3] i32
     dial_color = (2 * ssum + 25) // 50
     lo = jnp.clip(dial_color - color_range, 0, 255)
@@ -100,6 +107,7 @@ def _decode_batch(
     conv_precision,
     sum_dtype=None,
     static_win_origin=None,  # ((ox, oy) per dial) as python ints, or None
+    static_centers=None,     # ((cx, cy) per dial) as python ints, or None
     static_crop_hw=None,     # true (H, W) of the meter crop, or None
     static_bbox=None,        # per-dial stats bounding box (see analyze_batch)
 ) -> BatchResult:
@@ -144,9 +152,11 @@ def _decode_batch(
         for i in range(D):
             ox, oy = static_win_origin[i]
             win_pk = sw[:, oy:oy + W, ox:ox + W]          # [B, W, W]
+            ci = (static_centers[i] if static_centers is not None
+                  else pa.centers_int[i])
             m, c = jax.vmap(
-                lambda wp, i=i: _dial_masks_from_packed_window(
-                    wp, pa.color_range[i], pa.centers_int[i],
+                lambda wp, i=i, ci=ci: _dial_masks_from_packed_window(
+                    wp, pa.color_range[i], ci,
                     pa.mask_full[i], pa.hue_shift)
             )(win_pk)
             masked_l.append(m)
@@ -349,6 +359,8 @@ class MeterDecoder:
                 conv_precision=conv_precision,
                 sum_dtype=jnp.float64,
                 static_win_origin=win_origin_static,
+                static_centers=tuple(
+                    (int(x), int(y)) for x, y in np.asarray(pa.centers_int)),
                 static_crop_hw=(params.meter_rect.height,
                                 params.meter_rect.width),
                 static_bbox=_stats_bbox(pa.mask_full),
