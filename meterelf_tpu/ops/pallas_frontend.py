@@ -22,7 +22,7 @@ Fuses everything between JPEG crops and the per-dial window masks:
      see exactly ONE f32 rounding (the c1*box' multiply-add) — tighter
      than cv2 3.4's own f32 DFT pipeline (SURVEY.md §8bis.4).
   4. the x-offset loop is batched 32 columns per matmul through a
-     [4096, 256] bank of column-shifted template copies (block d rows
+     [3840, 224] bank of column-shifted template copies (block d rows
      hold T[TH-1-s, c-d]); the template is ROW-REVERSED so that the
      per-column diagonal reduction corr[y] = sum_s rx[s, y + TH-1 - s]
      is ONE strided lane-rotate (tpu.dynamic_rotate stride=1 across
@@ -58,7 +58,10 @@ OH, OW, TH, TW = 132, 63, 119, 188
 OH_PAD = 136
 SW_H = 136    # superwindow rows  (>= TH + margin, mult of 8)
 SW_W = 256    # superwindow cols  (>= TW + margin, mult of 128)
-BANK_M = 4096  # 32 column-shifted template copies x 128 padded rows
+BANK_M = 3840  # 32 column-shifted template copies x 120 padded rows
+BANK_K = 224   # template cols 188 + 31 shifts <= 219, 32-aligned
+BLK = 120      # rows per copy: 119 real + 1 pad (8-aligned slices,
+               # strided-rotate spread 119 < 128)
 
 
 def _prefix_sum(x, axis):
@@ -74,7 +77,7 @@ def _prefix_sum(x, axis):
 
 def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref):
     """img_ref: [H_PAD, W_PAD] i32 packed BGR (zero padded).
-    bank_ref: [BANK_M, 256] i8 shifted-template bank. c1_ref: [1] f32
+    bank_ref: [BANK_M, BANK_K] i8 shifted-template bank. c1_ref: [1] f32
     SMEM = 128 - template_mean. sw_ref: [SW_H, SW_W] i32 superwindow.
     stat_ref: [8, 128] f32."""
     i32 = jnp.int32
@@ -103,13 +106,13 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref):
 
     cols = []
     for x32 in range(0, 64, 32):
-        sl = lt8[x32:x32 + 256, :]
+        sl = lt8[x32:x32 + BANK_K, :]
         rx = lax.dot_general(
             bank, sl,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=i32)             # [BANK_M, 256] i32
         for d in range(32):
-            blk = rx[d * 128:(d + 1) * 128, :]
+            blk = rx[d * BLK:(d + 1) * BLK, :]
             # corr[y, x32+d] = sum_s blk[s, y + TH-1 - s]: one strided
             # rotate (shift_s = s) + sublane sum; output lane y + TH-1
             rr = pltpu.roll(blk, 0, 1, stride=1, stride_axis=0)
@@ -159,12 +162,12 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref):
 
 
 def _template_bank(template_u8: jnp.ndarray) -> jnp.ndarray:
-    """[BANK_M, 256] int8 bank: block d (rows d*128..) holds the
+    """[BANK_M, BANK_K] int8 bank: block d (rows d*BLK..) holds the
     row-reversed, -128-shifted template at column offset d:
-    bank[d*128 + s, c] = T[TH-1-s, c-d] - 128 (0 off-support)."""
+    bank[d*BLK + s, c] = T[TH-1-s, c-d] - 128 (0 off-support)."""
     t_rev = (template_u8[::-1].astype(jnp.int32) - 128).astype(jnp.int8)
     blocks = [
-        jnp.pad(t_rev, ((0, 128 - TH), (d, 256 - TW - d)))
+        jnp.pad(t_rev, ((0, BLK - TH), (d, BANK_K - TW - d)))
         for d in range(32)
     ]
     return jnp.concatenate(blocks, axis=0)
@@ -204,7 +207,7 @@ def frontend_pallas(
             in_specs=[
                 pl.BlockSpec((H_PAD, W_PAD), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BANK_M, 256), lambda i: (0, 0),
+                pl.BlockSpec((BANK_M, BANK_K), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
