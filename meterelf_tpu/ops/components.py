@@ -176,6 +176,11 @@ def analyze_batch(
                              # stats domain from W*W to SB*SB keys per window.
                              # K must then be a multiple of len(origins).
     stats: str = "sort",     # "sort" (u16 sort) | "hist" (MXU histogram)
+    caps=None,               # (k_label, k_outside, k_fill) pass caps; None =
+                             # the corpus-tuned defaults. High caps (the
+                             # RESCUE_CAPS rescue path) guarantee convergence
+                             # on pathological masks: in XLA they switch the
+                             # unrolled loops to lax.while_loop.
 ) -> ComponentResult:
     """Batched component analysis. impl="pallas" runs the propagation
     passes in one fused VMEM-resident kernel (ops/pallas_ccl.py); the
@@ -183,20 +188,58 @@ def analyze_batch(
     if impl.startswith("pallas"):
         from .pallas_ccl import propagate
         okey, converged = propagate(
-            masked, disk, interpret=impl.endswith("interpret"))
+            masked, disk, interpret=impl.endswith("interpret"), caps=caps)
     else:
-        okey, converged = _propagate_xla(masked, disk)
+        okey, converged = _propagate_xla(masked, disk, caps=caps)
     return _finalize(okey, masked, closed, converged,
                      static_bbox=static_bbox, stats=stats)
+
+
+def _iterate(k_max: int, body, x0):
+    """Run body up to k_max times; -> (x_final, eq = elementwise
+    "the final pass changed nothing"). Small caps unroll (XLA fuses
+    across passes); large caps ride a lax.while_loop with early exit
+    (compile size stays constant, runtime is pay-per-pass)."""
+    if k_max <= 12:
+        prev = x0
+        x = x0
+        for _ in range(k_max):
+            prev = x
+            x = body(x)
+        return x, x == prev
+
+    def cond(c):
+        i, done, _, _ = c
+        return (i < jnp.int32(k_max)) & jnp.logical_not(done)
+
+    def step(c):
+        i, _, x, _ = c
+        nx = body(x)
+        eq = nx == x
+        return (i + jnp.int32(1), eq.all(), nx, eq)
+
+    _, _, xf, eqf = lax.while_loop(
+        cond, step,
+        (jnp.int32(0), jnp.bool_(False), x0, jnp.zeros_like(x0, bool)))
+    return xf, eqf
+
+
+# rescue-path caps: generous enough for any plausible 64x64 mask (a
+# full serpentine needs ~one hybrid pass per switchback, <= 64); decode
+# users re-run non-converged windows through these (pipeline/decode.py)
+RESCUE_CAPS = (128, 64, 192)
 
 
 def _propagate_xla(
     masked: jnp.ndarray,     # [K, W, W] bool
     disk: jnp.ndarray,       # [K, W, W] bool
+    caps=None,
 ):
     """-> (owner_key i32 [K, W, W], converged bool [K]) where
     owner_key = owner*4 + masked*2 + boundary, owner = N at non-support
     pixels — the packed key _finalize sorts."""
+    k_label, k_outside, k_fill = caps or (
+        K_LABEL_HYBRID, K_OUTSIDE_HYBRID, K_FILL)
     K, W, W2 = masked.shape
     assert W2 == W
     N = W * W
@@ -224,11 +267,7 @@ def _propagate_xla(
     # distances, so this stricter flag — distance <= cap-1 instead of
     # <= cap — never fires on the corpus, and still never mislabels:
     # a non-no-op final pass is flagged, not trusted)
-    prev = labels
-    for _ in range(K_LABEL_HYBRID):  # unrolled: fuses across steps
-        prev = labels
-        labels = hybrid_pass(labels)
-    labels_eq = labels == prev
+    labels, labels_eq = _iterate(k_label, hybrid_pass, labels)
 
     # ---- outside background (bg 4-connected to beyond the dial disk) ----
     bg = ~masked
@@ -240,22 +279,17 @@ def _propagate_xla(
         out = _seg_or_sweep(out, bg_walls)
         return out & bg
 
-    prev_o = outside
-    for _ in range(K_OUTSIDE_HYBRID):
-        prev_o = outside
-        outside = out_pass(outside)
-    outside_eq = outside == prev_o
+    outside, outside_eq = _iterate(k_outside, out_pass, outside)
     enclosed = bg & ~outside
     support = masked | enclosed
 
     # ---- assign enclosed holes to their surrounding component ----
-    owner = jnp.where(masked, labels, BIG)
-    prev_f = owner
-    for _ in range(K_FILL):
-        prev_f = owner
-        owner = jnp.where(
-            enclosed, jnp.minimum(owner, _min3x3(owner, BIG)), owner)
-    fill_eq = owner == prev_f
+    def fill_pass(own):
+        return jnp.where(
+            enclosed, jnp.minimum(own, _min3x3(own, BIG)), own)
+
+    owner, fill_eq = _iterate(
+        k_fill, fill_pass, jnp.where(masked, labels, BIG))
 
     def conv_per_window(eq):
         return eq.all(axis=(1, 2))

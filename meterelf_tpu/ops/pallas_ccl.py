@@ -161,7 +161,9 @@ def _run_until(k_max: int, body, x0):
     return xf, eqf
 
 
-def _ccl_kernel(bits_ref, okey_ref, conv_ref):
+def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
+                caps=(K_LABEL_HYBRID, K_OUTSIDE_HYBRID, K_FILL)):
+    k_label, k_outside, k_fill = caps
     S = GP * W
     i32 = jnp.int32
     sub, lane = _iotas(S)
@@ -182,7 +184,7 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
         return jnp.where(masked, lab, BIG)
 
     labels, eq_lab = _run_until(
-        K_LABEL_HYBRID, label_pass, jnp.where(masked, idx, BIG))
+        k_label, label_pass, jnp.where(masked, idx, BIG))
 
     # ---- outside flood ----
     bg = ~masked
@@ -197,7 +199,7 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
         return (o & bg).astype(i32)
 
     outside_i, eq_out = _run_until(
-        K_OUTSIDE_HYBRID, out_pass_i32, (bg & ~disk).astype(i32))
+        k_outside, out_pass_i32, (bg & ~disk).astype(i32))
     outside = outside_i != 0
     enclosed = bg & ~outside
     support = masked | enclosed
@@ -209,7 +211,7 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
             jnp.minimum(own, _min3x3(own, S, sub, lane, N)), own)
 
     owner, eq_fill = _run_until(
-        K_FILL, fill_pass, jnp.where(masked, labels, BIG))
+        k_fill, fill_pass, jnp.where(masked, labels, BIG))
 
     # ---- outputs ----
     boundary = masked & _any8(outside, S, sub, lane)
@@ -229,11 +231,15 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref):
         lane_full == 0, left, jnp.where(lane_full == 1, right, i32(0)))
 
 
-def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False):
+def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False,
+              caps=None):
     """[K, W, W] bool masks -> (owner_key i32 [K, W, W], converged [K]).
 
     owner_key = owner*4 + masked*2 + boundary with owner = N for
-    non-support pixels — exactly the packed key analyze_batch sorts."""
+    non-support pixels — exactly the packed key analyze_batch sorts.
+    caps=(k_label, k_outside, k_fill) raises the pass bounds (the
+    early-exit while loops make high caps pay-per-pass, not
+    per-compile)."""
     K = masked.shape[0]
     assert masked.shape[1:] == (W, W)
 
@@ -249,9 +255,11 @@ def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False):
     bits2 = (bits.reshape(M, 2, W, W).transpose(0, 2, 1, 3)
              .reshape(M, W, 2 * W))
 
+    kernel = (_ccl_kernel if caps is None
+              else functools.partial(_ccl_kernel, caps=tuple(caps)))
     with jax.enable_x64(False):
         okey2, conv2 = pl.pallas_call(
-            _ccl_kernel,
+            kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((M * W, 128), jnp.int32),
                 jax.ShapeDtypeStruct((M, 128), jnp.int32),

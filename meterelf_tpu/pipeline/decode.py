@@ -110,6 +110,8 @@ def _decode_batch(
     static_centers=None,     # ((cx, cy) per dial) as python ints, or None
     static_crop_hw=None,     # true (H, W) of the meter crop, or None
     static_bbox=None,        # per-dial stats bounding box (see analyze_batch)
+    ccl_caps=None,           # CCL pass caps; None = corpus-tuned defaults,
+                             # comp_ops.RESCUE_CAPS = guaranteed convergence
 ) -> BatchResult:
     th, tw = pa.template_zm.shape
     D = pa.mask_full.shape[0]
@@ -215,6 +217,7 @@ def _decode_batch(
         # the same platform switch as the correlation kernel
         impl="pallas" if conv_precision == "pallas" else "xla",
         static_bbox=static_bbox,
+        caps=ccl_caps,
     )
     has_any = comp.has_any.reshape(B, D)
     conv = comp.converged.reshape(B, D)
@@ -353,19 +356,19 @@ class MeterDecoder:
         # path slice dial windows from the superwindow at compile time
         win_origin_static = tuple(
             (int(x), int(y)) for x, y in np.asarray(pa.win_origin))
-        self._fn = jax.jit(
-            functools.partial(
-                _decode_batch,
-                conv_precision=conv_precision,
-                sum_dtype=jnp.float64,
-                static_win_origin=win_origin_static,
-                static_centers=tuple(
-                    (int(x), int(y)) for x, y in np.asarray(pa.centers_int)),
-                static_crop_hw=(params.meter_rect.height,
-                                params.meter_rect.width),
-                static_bbox=_stats_bbox(pa.mask_full),
-            )
+        self._static_kwargs = dict(
+            conv_precision=conv_precision,
+            sum_dtype=jnp.float64,
+            static_win_origin=win_origin_static,
+            static_centers=tuple(
+                (int(x), int(y)) for x, y in np.asarray(pa.centers_int)),
+            static_crop_hw=(params.meter_rect.height,
+                            params.meter_rect.width),
+            static_bbox=_stats_bbox(pa.mask_full),
         )
+        self._fn = jax.jit(
+            functools.partial(_decode_batch, **self._static_kwargs))
+        self._rescue_fn = None  # compiled on first non-converged batch
 
     def __call__(self, crops_u8, load_ok=None) -> BatchResult:
         if load_ok is None:
@@ -373,6 +376,42 @@ class MeterDecoder:
         return self._fn(self.param_arrays, crops_u8, load_ok)
 
     def decode_numpy(self, crops_u8, load_ok=None):
-        """Decode and pull results to host numpy."""
-        res = self(crops_u8, load_ok)
-        return jax.tree.map(np.asarray, res)
+        """Decode and pull results to host numpy.
+
+        If any image's CCL propagation failed to reach its fixpoint
+        under the corpus-tuned pass caps (pathological needle masks —
+        never the corpus), the batch is re-decoded through the rescue
+        graph (comp_ops.RESCUE_CAPS: generous caps, pay-per-pass via
+        the early-exit loops) and the non-converged rows are replaced.
+        Guarantees no silently-mislabeled component analysis ever
+        reaches a caller."""
+        res = jax.tree.map(np.asarray, self(crops_u8, load_ok))
+        if bool(res.converged.all()):
+            return res
+        if self._rescue_fn is None:
+            from ..ops import components as comp_ops
+            self._rescue_fn = jax.jit(functools.partial(
+                _decode_batch, ccl_caps=comp_ops.RESCUE_CAPS,
+                **self._static_kwargs))
+        if load_ok is None:
+            load_ok = jnp.ones(crops_u8.shape[0], bool)
+        res2 = jax.tree.map(
+            np.asarray,
+            self._rescue_fn(self.param_arrays, crops_u8, load_ok))
+        if not bool(res2.converged.all()):
+            bad = np.nonzero(~res2.converged)[0].tolist()
+            raise RuntimeError(
+                "component propagation failed to converge even under "
+                f"rescue caps for batch rows {bad}; refusing to emit "
+                "potentially mislabeled readings")
+        take = res.converged
+        merged = type(res)(*[
+            np.where(_bcast(take, a.shape), a, b)
+            for a, b in zip(res, res2)
+        ])
+        return merged
+
+
+def _bcast(mask: np.ndarray, shape) -> np.ndarray:
+    """[B] bool -> broadcastable to a [B, ...] result field."""
+    return mask.reshape(mask.shape + (1,) * (len(shape) - 1))

@@ -99,7 +99,12 @@ def stream_decode(
     pending = None  # (names, device result)
     ts_iter = iter(timestamps) if timestamps is not None else None
 
-    def drain(names, res) -> StreamReport:
+    def drain(names, crops, res) -> StreamReport:
+        if not bool(np.asarray(res.converged).all()):
+            # pathological masks defeated the corpus-tuned CCL caps:
+            # re-decode this batch through the rescue graph (decode_numpy
+            # merges per-row; raises if even rescue caps don't converge)
+            res = dec.decode_numpy(crops)
         err = np.asarray(res.err)[: len(names)]
         values = np.asarray(res.value)[: len(names)]
         now = time.time()
@@ -148,7 +153,7 @@ def stream_decode(
         res = dec(crops)  # async dispatch: device starts while host loops
         if pending is not None:
             yield drain(*pending)
-        pending = (names, res)
+        pending = (names, crops, res)
     if pending is not None:
         yield drain(*pending)
 

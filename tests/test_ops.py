@@ -264,3 +264,56 @@ def test_stats_hist_matches_sort(seed):
     assert np.array_equal(np.asarray(r_s.needle_region),
                           np.asarray(r_h.needle_region))
     assert np.array_equal(np.asarray(r_s.has_any), np.asarray(r_h.has_any))
+
+
+def test_rescue_caps_converge_on_adversarial_noise():
+    """Dense noise (seed 0, p=0.35, window 0) defeats the corpus-tuned
+    caps: the default run must FLAG it (not silently mislabel);
+    RESCUE_CAPS must converge and match the cv2 oracle."""
+    cv2 = pytest.importorskip("cv2")
+    W = 64
+    yy, xx = np.mgrid[:W, :W]
+    disk = (yy - 32) ** 2 + (xx - 32) ** 2 <= 23 ** 2
+    rng = np.random.default_rng(0)
+    closed = (rng.random((8, W, W)) < 0.35)[0]
+    masked = closed & disk
+
+    run = jax.jit(comp_ops.analyze_batch,
+                  static_argnames=("impl", "stats", "caps"))
+    r_def = run(jnp.asarray(masked[None]), jnp.asarray(closed[None]),
+                jnp.asarray(disk[None]), impl="xla")
+    assert not bool(r_def.converged[0])  # honest flag, not silence
+
+    r_resc = run(jnp.asarray(masked[None]), jnp.asarray(closed[None]),
+                 jnp.asarray(disk[None]), impl="xla",
+                 caps=comp_ops.RESCUE_CAPS)
+    assert bool(r_resc.converged[0])
+    expected = _cv2_needle_region(masked, closed)
+    assert np.array_equal(np.asarray(r_resc.needle_region[0]), expected)
+
+
+def test_decoder_rescue_path_end_to_end():
+    """With the default caps sabotaged to 1 pass, decode_numpy must
+    detect the non-convergence and transparently re-decode through the
+    rescue graph, matching an unsabotaged decode exactly."""
+    import tempfile
+    from unittest import mock
+    from meterelf_tpu import synthetic
+    from meterelf_tpu.pipeline.decode import MeterDecoder
+
+    params = synthetic.make_params(tempfile.mkdtemp())
+    crops = synthetic.render_crops(
+        [[1.0, 3.5, 7.2, 9.9], [0.0, 2.5, 5.0, 7.5]])
+
+    good = MeterDecoder(params).decode_numpy(crops)
+    assert bool(good.converged.all())
+
+    with mock.patch.object(comp_ops, "K_LABEL_HYBRID", 1), \
+            mock.patch.object(comp_ops, "K_OUTSIDE_HYBRID", 1), \
+            mock.patch.object(comp_ops, "K_FILL", 1):
+        weak = MeterDecoder(params)
+        res = weak.decode_numpy(crops)
+    assert bool(res.converged.all())
+    assert np.array_equal(res.value, good.value)
+    assert np.array_equal(res.err, good.err)
+    assert np.array_equal(res.dial_pos, good.dial_pos)
