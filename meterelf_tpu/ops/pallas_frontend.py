@@ -75,7 +75,8 @@ def _prefix_sum(x, axis):
     return x
 
 
-def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref):
+def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref,
+                     corr_ref):
     """img_ref: [H_PAD, W_PAD] i32 packed BGR (zero padded).
     bank_ref: [BANK_M, BANK_K] i8 shifted-template bank. c1_ref: [1] f32
     SMEM = 128 - template_mean. sw_ref: [SW_H, SW_W] i32 superwindow.
@@ -104,7 +105,6 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref):
          jnp.zeros((64, 256), jnp.int8)], axis=0)   # [320, 256] L-128
     bank = bank_ref[...]
 
-    cols = []
     for x32 in range(0, 64, 32):
         sl = lt8[x32:x32 + BANK_K, :]
         rx = lax.dot_general(
@@ -114,10 +114,12 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref):
         for d in range(32):
             blk = rx[d * BLK:(d + 1) * BLK, :]
             # corr[y, x32+d] = sum_s blk[s, y + TH-1 - s]: one strided
-            # rotate (shift_s = s) + sublane sum; output lane y + TH-1
+            # rotate (shift_s = s) + sublane sum; output lane y + TH-1.
+            # Rows land in a VMEM scratch ref — a 64-way concat of
+            # single-row vregs would repack 7/8-empty tiles instead.
             rr = pltpu.roll(blk, 0, 1, stride=1, stride_axis=0)
-            cols.append(jnp.sum(rr, axis=0, keepdims=True))
-    corrT_raw = jnp.concatenate(cols, axis=0)[0:OW, :]
+            corr_ref[x32 + d, :] = jnp.sum(rr, axis=0)
+    corrT_raw = corr_ref[...][0:OW, :]
     corrT = pltpu.roll(corrT_raw, 256 - (TH - 1), 1).astype(f32)
 
     # ---- boxsum of L-128 via a static ones-bank matmul ----
@@ -217,6 +219,7 @@ def frontend_pallas(
                 pl.BlockSpec((8, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
+            scratch_shapes=[pltpu.VMEM((64, 256), jnp.int32)],
             interpret=interpret,
         )(img_pad, bank, c1)
 
