@@ -178,3 +178,72 @@ def replay_files(
     for r in range(repeat):
         for fn, crop in decoded:
             yield fn, crop
+
+
+def _filename_timestamp(name: str) -> Optional[float]:
+    """Capture time embedded in corpus-style filenames
+    (YYYYMMDDHHMMSS[-...].jpg), as a POSIX timestamp; None if absent."""
+    import calendar
+    import os
+    import re
+
+    m = re.match(r"(\d{14})", os.path.basename(name))
+    if not m:
+        return None
+    s = m.group(1)
+    try:
+        tup = (int(s[0:4]), int(s[4:6]), int(s[6:8]),
+               int(s[8:10]), int(s[10:12]), int(s[12:14]), 0, 0, 0)
+        return float(calendar.timegm(tup))
+    except ValueError:
+        return None
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """CLI for the continuous-replay streaming mode (BASELINE.json
+    config 5): `python -m meterelf_tpu.stream PARAMS_FILE [IMAGE...]
+    [--repeat N] [--batch B]` prints one rolling report line per batch.
+
+    When every filename embeds a capture timestamp (YYYYMMDDHHMMSS...),
+    flow/leak windows run on recorded time (repeats continue past the
+    recorded span); otherwise they fall back to wall-clock.
+    """
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    repeat, batch = 1, 256
+    for flag, setter in (("--repeat", "repeat"), ("--batch", "batch")):
+        if flag in args:
+            i = args.index(flag)
+            val = int(args[i + 1])
+            del args[i:i + 2]
+            if setter == "repeat":
+                repeat = val
+            else:
+                batch = val
+    if len(args) < 2:
+        print("usage: python -m meterelf_tpu.stream PARAMS_FILE "
+              "IMAGE_FILE... [--repeat N] [--batch B]", file=sys.stderr)
+        raise SystemExit(1)
+    params = Params.load(args[0])
+    base = list(replay_files(params, args[1:], repeat=1))
+    ts0 = [_filename_timestamp(fn) for fn, _ in base]
+    timestamps = None
+    if base and all(t is not None for t in ts0):
+        span = (max(ts0) - min(ts0)) + 60.0
+        timestamps = [t + r * span for r in range(repeat) for t in ts0]
+    frames = (fr for _r in range(repeat) for fr in base)
+    for rep in stream_decode(params, frames, batch_size=batch,
+                             timestamps=timestamps):
+        flow = "?" if rep.flow_lph is None else f"{rep.flow_lph:.3f}"
+        last = "?" if rep.last_value is None else f"{rep.last_value:07.3f}"
+        print(
+            f"frames={rep.frames_total} ok={rep.frames_ok} "
+            f"err={rep.frames_error} last={last} "
+            f"cum={rep.cumulative_liters:.3f}L flow={flow}L/h "
+            f"leak={'YES' if rep.leak_suspected else 'no'} "
+            f"rate={rep.images_per_sec:.0f}img/s", flush=True)
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via CLI test
+    main()

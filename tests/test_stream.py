@@ -45,3 +45,28 @@ def test_stream_leak_detection(params1, decoder1):
     reports = list(stream_decode(
         params1, frames, decoder=decoder1, batch_size=8, timestamps=ts))
     assert not reports[-1].leak_suspected  # same frame => zero flow
+
+
+def test_stream_cli_usage_error():
+    from meterelf_tpu import stream as stream_mod
+
+    with pytest.raises(SystemExit) as exc:
+        stream_mod.main([])
+    assert exc.value.code == 1
+
+
+def test_stream_cli_on_sample_files(capsys):
+    """The `python -m meterelf_tpu.stream` report lines (config 5)."""
+    from glob import glob
+    from meterelf_tpu import stream as stream_mod
+
+    files = sorted(glob("/root/reference/sample-images1/2018*.jpg"))[2:6]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    stream_mod.main(
+        ["/root/reference/sample-images1/params.yml", *files,
+         "--repeat", "3", "--batch", "8"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out, "no report lines printed"
+    assert out[-1].startswith("frames=12 ")
+    assert "rate=" in out[-1] and "leak=" in out[-1]
