@@ -56,3 +56,22 @@ def test_stub_needle_is_unreadable(syn_params, syn_decoder):
     assert res.err[0] == ErrCode.DIAL_ANGLE
     assert res.unreadable_bits[0] == (1 << 2)
     assert res.readable[0].tolist() == [True, True, False, True]
+
+
+def test_alt_camera_geometry_roundtrip(tmp_path):
+    """A second synthetic camera with a DIFFERENT template size (141x90)
+    and crop size (210x200) decodes end-to-end through the generic XLA
+    paths — the framework is not hardwired to the reference's shape
+    family (reference analog: sample-images2's second params.yml)."""
+    cam = synthetic.ALT_CAMERA
+    params = cam.make_params(str(tmp_path))
+    dec = MeterDecoder(params, exact=True)
+    true_pos = [[(i * 2.1 + d * 1.3) % 10 for d in range(4)]
+                for i in range(4)]
+    crops = cam.render_crops(true_pos)
+    assert crops.shape == (4, 200, 210, 3)
+    res = dec.decode_numpy(crops)
+    assert (res.err == ErrCode.OK).all()
+    assert res.converged.all()
+    err = np.abs(((res.dial_pos - np.array(true_pos)) + 5) % 10 - 5)
+    assert err.max() < 0.1
