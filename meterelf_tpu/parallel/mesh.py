@@ -34,12 +34,16 @@ def data_parallel_decoder(decoder, mesh: Mesh, axis: str = "data"):
     replicated = NamedSharding(mesh, P())
 
     prec = "pallas" if mesh.devices.flat[0].platform == "tpu" else "matmul"
+    # reuse the decoder's full static configuration (fused-frontend
+    # window origins, static color-sample centers, stats bounding box)
+    # so each shard runs the same fast path as the single-chip graph,
+    # overriding only the correlation impl for the mesh's platform
+    static_kwargs = dict(
+        getattr(decoder, "_static_kwargs", None)
+        or {"sum_dtype": jax.numpy.float64})
+    static_kwargs["conv_precision"] = prec
     fn = jax.jit(
-        functools.partial(
-            _decode_batch,
-            conv_precision=prec,
-            sum_dtype=jax.numpy.float64,
-        ),
+        functools.partial(_decode_batch, **static_kwargs),
         in_shardings=(replicated, batch_sharding, batch_sharding),
         out_shardings=batch_sharding,
     )
