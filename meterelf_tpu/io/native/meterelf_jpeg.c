@@ -137,6 +137,108 @@ int mej_decode(const unsigned char *data, unsigned long size,
     return 0;
 }
 
+/* ---------------- region decode (meter-rect fast path) ----------------
+ *
+ * Decodes only the scanline/column band containing a requested region,
+ * via libjpeg-turbo's jpeg_crop_scanline + jpeg_skip_scanlines. IDCT and
+ * upsampling run only for the included iMCU band (~26% of the work for
+ * the reference's 250x250 rect in a 640x480 frame). A 16-pixel margin on
+ * every side keeps fancy chroma upsampling's neighbor context, so the
+ * returned region is byte-identical to a full decode (validated over the
+ * whole sample corpus, tests/test_io.py); callers fall back to
+ * mej_decode on any failure. */
+#define MEJ_REGION_MARGIN 16
+
+int mej_decode_region(const unsigned char *data, unsigned long size,
+                      unsigned char *out, int rx, int ry, int rw, int rh,
+                      int *out_w, int *out_h, const mej_opts *opts)
+{
+    struct jpeg_decompress_struct cinfo;
+    mej_error_mgr jerr;
+    JSAMPROW rowbuf = NULL;
+
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = mej_error_exit;
+    jerr.pub.emit_message = mej_emit_message;
+    jerr.pub.output_message = mej_output_message;
+
+    if (setjmp(jerr.setjmp_buffer)) {
+        if (rowbuf)
+            free(rowbuf);
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, size);
+    jpeg_read_header(&cinfo, TRUE);
+
+    cinfo.dct_method = (J_DCT_METHOD)opts->dct_method;
+    cinfo.do_fancy_upsampling = opts->fancy_upsampling ? TRUE : FALSE;
+    int gray = (cinfo.jpeg_color_space == JCS_GRAYSCALE);
+    cinfo.out_color_space =
+        gray ? JCS_GRAYSCALE : (opts->out_bgr ? JCS_EXT_BGR : JCS_RGB);
+
+    jpeg_start_decompress(&cinfo);
+
+    int w = (int)cinfo.output_width;
+    int h = (int)cinfo.output_height;
+    *out_w = w;
+    *out_h = h;
+    if (rx < 0 || ry < 0 || rx + rw > w || ry + rh > h) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return 4; /* region outside image: caller falls back */
+    }
+
+    /* horizontal crop with margin; the library aligns to iMCU bounds */
+    JDIMENSION xoff = rx > MEJ_REGION_MARGIN ? rx - MEJ_REGION_MARGIN : 0;
+    JDIMENSION xw = rx + rw + MEJ_REGION_MARGIN > w
+        ? (JDIMENSION)w - xoff : rx + rw + MEJ_REGION_MARGIN - xoff;
+    jpeg_crop_scanline(&cinfo, &xoff, &xw);
+    int band_w = (int)cinfo.output_width;    /* = xw after adjustment */
+    int col0 = rx - (int)xoff;
+
+    /* vertical skip with margin */
+    int y_skip = ry > MEJ_REGION_MARGIN ? ry - MEJ_REGION_MARGIN : 0;
+    if (y_skip > 0)
+        jpeg_skip_scanlines(&cinfo, (JDIMENSION)y_skip);
+
+    int nch = gray ? 1 : 3;
+    rowbuf = (JSAMPROW)malloc((size_t)band_w * nch);
+    if (!rowbuf) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return 3;
+    }
+
+    int y_end = ry + rh;
+    while ((int)cinfo.output_scanline < y_end) {
+        int y = (int)cinfo.output_scanline;
+        JSAMPROW rows[1] = {rowbuf};
+        jpeg_read_scanlines(&cinfo, rows, 1);
+        if (y < ry)
+            continue; /* margin row */
+        unsigned char *dst = out + (size_t)(y - ry) * rw * 3;
+        if (gray) {
+            for (int x = 0; x < rw; x++) {
+                unsigned char v = rowbuf[col0 + x];
+                dst[3 * x + 0] = v;
+                dst[3 * x + 1] = v;
+                dst[3 * x + 2] = v;
+            }
+        } else {
+            memcpy(dst, rowbuf + (size_t)col0 * 3, (size_t)rw * 3);
+        }
+    }
+
+    free(rowbuf);
+    rowbuf = NULL;
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
 /* ---------------- batch decode (threaded host feeder) ---------------- */
 
 typedef struct {
@@ -209,6 +311,112 @@ void mej_decode_batch(const unsigned char *const *datas,
     for (int t = 0; t < num_threads; t++)
         pthread_join(threads[t], NULL);
     pthread_mutex_destroy(&job.lock);
+}
+
+/* ------------- batched region decode (meter-rect feeder) ------------- */
+
+typedef struct {
+    const unsigned char *const *datas;
+    const unsigned long *sizes;
+    unsigned char *out;       /* N * rh * rw * 3 */
+    int *ok;                  /* N: 0 = success (nonzero -> caller falls
+                                 back to a full decode for that file) */
+    int rx, ry, rw, rh;
+    int n;
+    const mej_opts *opts;
+    int next;
+    pthread_mutex_t lock;
+} mej_region_job;
+
+static void *mej_region_worker(void *arg)
+{
+    mej_region_job *job = (mej_region_job *)arg;
+    size_t img_stride = (size_t)job->rw * job->rh * 3;
+    int w, h;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        int i = job->next++;
+        pthread_mutex_unlock(&job->lock);
+        if (i >= job->n)
+            break;
+        job->ok[i] = mej_decode_region(
+            job->datas[i], job->sizes[i],
+            job->out + (size_t)i * img_stride,
+            job->rx, job->ry, job->rw, job->rh, &w, &h, job->opts);
+    }
+    return NULL;
+}
+
+void mej_decode_region_batch(const unsigned char *const *datas,
+                             const unsigned long *sizes, int n,
+                             unsigned char *out,
+                             int rx, int ry, int rw, int rh,
+                             int *ok,
+                             int dct_method, int fancy_upsampling,
+                             int out_bgr, int num_threads)
+{
+    mej_opts opts = {dct_method, fancy_upsampling, out_bgr};
+    mej_region_job job;
+    job.datas = datas;
+    job.sizes = sizes;
+    job.out = out;
+    job.ok = ok;
+    job.rx = rx;
+    job.ry = ry;
+    job.rw = rw;
+    job.rh = rh;
+    job.n = n;
+    job.opts = &opts;
+    job.next = 0;
+    pthread_mutex_init(&job.lock, NULL);
+
+    if (num_threads < 1)
+        num_threads = 1;
+    if (num_threads > n)
+        num_threads = n;
+    pthread_t threads[64];
+    if (num_threads > 64)
+        num_threads = 64;
+
+    for (int t = 0; t < num_threads; t++)
+        pthread_create(&threads[t], NULL, mej_region_worker, &job);
+    for (int t = 0; t < num_threads; t++)
+        pthread_join(threads[t], NULL);
+    pthread_mutex_destroy(&job.lock);
+}
+
+/* Single-call region decode from a file path. */
+int mej_decode_region_file(const char *path, unsigned char *out,
+                           int rx, int ry, int rw, int rh,
+                           int *out_w, int *out_h,
+                           int dct_method, int fancy_upsampling, int out_bgr)
+{
+    FILE *fp = fopen(path, "rb");
+    if (!fp)
+        return 10;
+    fseek(fp, 0, SEEK_END);
+    long sz = ftell(fp);
+    fseek(fp, 0, SEEK_SET);
+    if (sz <= 0) {
+        fclose(fp);
+        return 11;
+    }
+    unsigned char *buf = (unsigned char *)malloc((size_t)sz);
+    if (!buf) {
+        fclose(fp);
+        return 12;
+    }
+    if (fread(buf, 1, (size_t)sz, fp) != (size_t)sz) {
+        free(buf);
+        fclose(fp);
+        return 13;
+    }
+    fclose(fp);
+    mej_opts opts = {dct_method, fancy_upsampling, out_bgr};
+    int rc = mej_decode_region(buf, (unsigned long)sz, out, rx, ry, rw, rh,
+                               out_w, out_h, &opts);
+    free(buf);
+    return rc;
 }
 
 /* Single-call convenience: decode with explicit options, exposed for the
