@@ -100,6 +100,18 @@ def _make_rids(wall, S, sub, lane):
     ]
 
 
+def _complement_rids(rids, sub, lane):
+    """Run-ids against the COMPLEMENT wall set, derived per direction
+    from the identity sum(1-w) = count - sum(w): four subtractions from
+    iotas instead of another 24 blocked-scan steps."""
+    out = []
+    for (axis, reverse), rid in rids:
+        idx = lane if axis == 1 else sub
+        n = (jnp.int32(W) - idx) if reverse else (idx + jnp.int32(1))
+        out.append(((axis, reverse), n - rid))
+    return out
+
+
 def _min3x3(x, S, sub, lane, big):
     """Blocked 3x3 min: out-of-window neighbors read as `big`."""
     b = jnp.int32(big)
@@ -188,7 +200,7 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
 
     # ---- outside flood ----
     bg = ~masked
-    bg_rids = _make_rids(masked, S, sub, lane)
+    bg_rids = _complement_rids(label_rids, sub, lane)
 
     # the while carry must be i32 — Mosaic cannot legalize scf.yield of
     # an i1 vector (experiments: /tmp/while_test.py boolvec)
