@@ -1,0 +1,86 @@
+"""TPU validation: fused windows+quad-CCL kernels vs the XLA window
+stage and pair-CCL — bit-equality of masks, owner keys, and convergence
+on real corpus superwindows AND random noise. (CPU backends cannot
+byte-compare differently-structured f32 HLS graphs: the CPU emitter
+fuses with excess precision per structure; TPU is strict per-op.)"""
+import sys
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_enable_x64", True)
+import tempfile
+from glob import glob
+from meterelf_tpu import synthetic
+from meterelf_tpu.params import DIAL_WIN, Params
+from meterelf_tpu.pipeline import decode as dec
+from meterelf_tpu.ops import pallas_windows as pw
+from meterelf_tpu.ops import pallas_ccl as pc
+from meterelf_tpu.io import jpeg as jio
+from meterelf_tpu.ops.pallas_frontend import frontend_pallas, H_PAD, W_PAD
+
+W = DIAL_WIN
+D = 4
+
+def check(params, sw_np, tag):
+    pa = params.arrays()
+    origins = [(int(x), int(y)) for x, y in np.asarray(pa.win_origin)]
+    centers = [(int(x), int(y)) for x, y in np.asarray(pa.centers_int)]
+    B = sw_np.shape[0]
+    swj = jax.device_put(sw_np)
+
+    @jax.jit
+    def xla_masks(swj):
+        ms, cs = [], []
+        for i in range(D):
+            ox, oy = origins[i]
+            win_pk = swj[:, oy:oy + W, ox:ox + W]
+            m, c = jax.vmap(lambda wp, i=i: dec._dial_masks_from_packed_window(
+                wp, pa.color_range[i], centers[i], pa.mask_full[i],
+                pa.hue_shift))(win_pk)
+            ms.append(m); cs.append(c)
+        return jnp.stack(ms, 1), jnp.stack(cs, 1)
+
+    m_x, c_x = map(np.asarray, xla_masks(swj))
+
+    disk_quad = jnp.asarray(np.concatenate(
+        [np.asarray(pa.mask_full[i]).astype(np.int32) for i in range(D)],
+        axis=1))
+    bits = jax.jit(lambda s: pw.window_bits_quads(
+        s, disk_quad, jnp.asarray(pa.color_range), pa.hue_shift,
+        tuple(origins), tuple(centers)))(swj)
+    bn = np.asarray(bits)
+    m_q = ((bn & 1) != 0).reshape(B, W, D, W).transpose(0, 2, 1, 3)
+    c_q = (((bn >> 2) & 1) != 0).reshape(B, W, D, W).transpose(0, 2, 1, 3)
+    print(tag, "masked equal:", np.array_equal(m_x, m_q),
+          " closed equal:", np.array_equal(c_x, c_q),
+          f"({(m_x != m_q).sum()} / {(c_x != c_q).sum()} diffs)")
+
+    # quad CCL vs pair CCL on the kernel's masks
+    mk = m_q.reshape(B * D, W, W)
+    dk = np.broadcast_to(np.asarray(pa.mask_full)[None],
+                         (B, D, W, W)).reshape(B * D, W, W).copy()
+    okey_p, conv_p = jax.jit(pc.propagate)(jnp.asarray(mk), jnp.asarray(dk))
+    okey_q, conv_q = jax.jit(pc.propagate_quads)(bits)
+    oq = np.asarray(okey_q).reshape(B, W, D, W).transpose(0, 2, 1, 3).reshape(B * D, W, W)
+    print(tag, "okey equal:", np.array_equal(np.asarray(okey_p), oq),
+          " conv equal:",
+          np.array_equal(np.asarray(conv_p).reshape(B, D), np.asarray(conv_q)))
+
+# real corpus superwindows via the frontend kernel
+S1 = "/root/reference/sample-images1"
+params = Params.load(f"{S1}/params.yml")
+pa = params.arrays()
+files = sorted(glob(f"{S1}/*.jpg"))
+crops, ok = jio.load_crops(files, params.meter_rect)
+packed = jio.pack_crops(crops, pad_hw=(H_PAD, W_PAD))
+tsum = int(np.asarray(pa.template_u8).astype(np.int64).sum())
+tmean = np.float32(tsum / pa.template_zm.size)
+_, _, _, sw = jax.jit(lambda p: frontend_pallas(
+    p, jnp.asarray(pa.template_u8), tmean))(jax.device_put(packed))
+check(params, np.asarray(sw), "corpus1:")
+
+# random superwindows
+rng = np.random.default_rng(0)
+swr = (rng.integers(0, 256, (64, 136, 256)).astype(np.int32)
+       | (rng.integers(0, 256, (64, 136, 256)).astype(np.int32) << 8)
+       | (rng.integers(0, 256, (64, 136, 256)).astype(np.int32) << 16))
+check(params, swr, "random :")

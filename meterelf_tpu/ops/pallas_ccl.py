@@ -36,9 +36,9 @@ GP = 8            # window pairs per program
 _SEG_BASE = 8192
 
 
-def _iotas(S):
-    sub = lax.broadcasted_iota(jnp.int32, (S, 128), 0) % jnp.int32(W)
-    lane = lax.broadcasted_iota(jnp.int32, (S, 128), 1) % jnp.int32(W)
+def _iotas(S, L=128):
+    sub = lax.broadcasted_iota(jnp.int32, (S, L), 0) % jnp.int32(W)
+    lane = lax.broadcasted_iota(jnp.int32, (S, L), 1) % jnp.int32(W)
     return sub, lane
 
 
@@ -49,7 +49,7 @@ def _shift_prev(x, s, axis, S):
 
 def _shift_next(x, s, axis, S):
     """Position i sees position i+s (cyclic; callers mask)."""
-    size = S if axis == 0 else 128
+    size = x.shape[axis]
     return pltpu.roll(x, size - s, axis)
 
 
@@ -174,15 +174,16 @@ def _run_until(k_max: int, body, x0):
 
 
 def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
-                caps=(K_LABEL_HYBRID, K_OUTSIDE_HYBRID, K_FILL)):
+                caps=(K_LABEL_HYBRID, K_OUTSIDE_HYBRID, K_FILL),
+                grp=GP, lanes=128):
     k_label, k_outside, k_fill = caps
-    S = GP * W
+    S = grp * W
     i32 = jnp.int32
-    sub, lane = _iotas(S)
+    sub, lane = _iotas(S, lanes)
     idx = sub * i32(W) + lane          # per-window flat index
     BIG = i32(N)
 
-    bits = bits_ref[...].reshape(S, 128)
+    bits = bits_ref[...].reshape(S, lanes)
     masked = (bits & 1) != 0
     disk = (bits & 2) != 0
 
@@ -231,16 +232,19 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
             + masked.astype(i32) * 2 + boundary.astype(i32))
     okey_ref[...] = okey
 
-    # bool multi-reductions don't lower in Mosaic; use i32 min-reduce
+    # bool multi-reductions don't lower in Mosaic; use i32 min-reduce.
+    # per-window convergence bit -> conv_ref lane b for window block b
     eq = eq_lab & eq_out & eq_fill
-    red = jnp.min(eq.reshape(GP, W, 128), axis=1)          # [GP, 128]
-    lane_full = lax.broadcasted_iota(i32, (GP, 128), 1)
-    left = jnp.min(
-        jnp.where(lane_full >= i32(W), i32(1), red), axis=1, keepdims=True)
-    right = jnp.min(
-        jnp.where(lane_full < i32(W), i32(1), red), axis=1, keepdims=True)
-    conv_ref[...] = jnp.where(
-        lane_full == 0, left, jnp.where(lane_full == 1, right, i32(0)))
+    red = jnp.min(eq.reshape(grp, W, lanes), axis=1)       # [grp, lanes]
+    lane_r = lax.broadcasted_iota(i32, (grp, lanes), 1)
+    lane_o = lax.broadcasted_iota(i32, (grp, 128), 1)
+    conv = jnp.zeros((grp, 128), i32)
+    for b in range(lanes // W):
+        v = jnp.min(
+            jnp.where(lane_r // i32(W) == i32(b), red, i32(1)),
+            axis=1, keepdims=True)
+        conv = jnp.where(lane_o == i32(b), v, conv)
+    conv_ref[...] = conv
 
 
 def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False,
@@ -267,8 +271,9 @@ def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False,
     bits2 = (bits.reshape(M, 2, W, W).transpose(0, 2, 1, 3)
              .reshape(M, W, 2 * W))
 
-    kernel = (_ccl_kernel if caps is None
-              else functools.partial(_ccl_kernel, caps=tuple(caps)))
+    kernel = functools.partial(
+        _ccl_kernel, grp=GP, lanes=128,
+        **({} if caps is None else {"caps": tuple(caps)}))
     with jax.enable_x64(False):
         okey2, conv2 = pl.pallas_call(
             kernel,
@@ -294,3 +299,49 @@ def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False,
             .reshape(Kp, W, W)[:K])
     conv = (conv2[:, :2] != 0).reshape(Kp)[:K]
     return okey, conv
+
+
+GQ = 8            # images (window quads) per program in quad layout
+                  # (8-row conv output block: Mosaic block-shape rule)
+
+
+def propagate_quads(bits_quads: jnp.ndarray, *, interpret=False, caps=None):
+    """Quad-layout propagation: [B, W, 4*W] i32 packed bits (bit 0 =
+    masked, bit 1 = disk; the windows kernel's native output,
+    ops/pallas_windows.py) -> (okey [B, W, 4*W] i32, converged [B, 4]).
+
+    Same kernel as propagate(), at 256 lanes: the 64-block-segmented
+    machinery is layout-agnostic, so four windows ride one row."""
+    B = bits_quads.shape[0]
+    assert bits_quads.shape[1:] == (W, 4 * W)
+    pad = (-B) % GQ
+    Bp = B + pad
+    if pad:
+        bits_quads = jnp.concatenate(
+            [bits_quads, jnp.zeros((pad, W, 4 * W), jnp.int32)], 0)
+
+    kernel = functools.partial(
+        _ccl_kernel, grp=GQ, lanes=4 * W,
+        **({} if caps is None else {"caps": tuple(caps)}))
+    with jax.enable_x64(False):
+        okey, conv = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((Bp * W, 4 * W), jnp.int32),
+                jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
+            ),
+            grid=(Bp // GQ,),
+            in_specs=[
+                pl.BlockSpec((GQ, W, 4 * W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((GQ * W, 4 * W), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((GQ, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(bits_quads)
+    return (okey.reshape(Bp, W, 4 * W)[:B],
+            (conv[:B, :4] != 0))

@@ -144,27 +144,57 @@ def _decode_batch(
     tsum = jnp.sum(pa.template_u8.astype(jnp.int32))
     tmean = tsum.astype(jnp.float32) / jnp.float32(th * tw)
 
+    use_quad_kernels = (
+        use_frontend and D == 4 and static_centers is not None)
+
     if use_frontend:
         # fused Pallas frontend: packed image -> scores+argmax+superwindow
         from ..ops.pallas_frontend import frontend_pallas
         max_val, mx, my, sw = frontend_pallas(packed, pa.template_u8, tmean)
 
-        # dial windows at STATIC offsets within the superwindow
-        masked_l, closed_l = [], []
-        for i in range(D):
-            ox, oy = static_win_origin[i]
-            win_pk = sw[:, oy:oy + W, ox:ox + W]          # [B, W, W]
-            ci = (static_centers[i] if static_centers is not None
-                  else pa.centers_int[i])
-            m, c = jax.vmap(
-                lambda wp, i=i, ci=ci: _dial_masks_from_packed_window(
-                    wp, pa.color_range[i], ci,
-                    pa.mask_full[i], pa.hue_shift)
-            )(win_pk)
-            masked_l.append(m)
-            closed_l.append(c)
-        masked = jnp.stack(masked_l, axis=1)              # [B, D, W, W]
-        closed = jnp.stack(closed_l, axis=1)
+        if use_quad_kernels:
+            # fused window-mask kernel (full-lane quad layout) + quad CCL:
+            # replaces the XLA per-dial window stage AND the pair-packed
+            # propagation staging (ops/pallas_windows.py)
+            from ..ops.pallas_windows import window_bits_quads
+            from ..ops.pallas_ccl import propagate_quads
+
+            disk_quad = jnp.concatenate(
+                [pa.mask_full[i].astype(jnp.int32) for i in range(D)],
+                axis=1)                                    # [W, 4W]
+            bits = window_bits_quads(
+                sw, disk_quad, pa.color_range, pa.hue_shift,
+                static_win_origin, static_centers)         # [B, W, 4W]
+            okey_q, conv_q = propagate_quads(bits, caps=ccl_caps)
+
+            def dequad(x):
+                return (x.reshape(B, W, D, W).transpose(0, 2, 1, 3)
+                        .reshape(B * D, W, W))
+
+            okey = dequad(okey_q)
+            masked_f = dequad((bits & 1) != 0)
+            closed_f = dequad(((bits >> 2) & 1) != 0)
+            comp = comp_ops._finalize(
+                okey, masked_f, closed_f, conv_q.reshape(B * D),
+                static_bbox=static_bbox)
+            masked = masked_f.reshape(B, D, W, W)
+        else:
+            # dial windows at STATIC offsets within the superwindow
+            masked_l, closed_l = [], []
+            for i in range(D):
+                ox, oy = static_win_origin[i]
+                win_pk = sw[:, oy:oy + W, ox:ox + W]      # [B, W, W]
+                ci = (static_centers[i] if static_centers is not None
+                      else pa.centers_int[i])
+                m, c = jax.vmap(
+                    lambda wp, i=i, ci=ci: _dial_masks_from_packed_window(
+                        wp, pa.color_range[i], ci,
+                        pa.mask_full[i], pa.hue_shift)
+                )(win_pk)
+                masked_l.append(m)
+                closed_l.append(c)
+            masked = jnp.stack(masked_l, axis=1)          # [B, D, W, W]
+            closed = jnp.stack(closed_l, axis=1)
     else:
         if packed.shape[1:3] != crop_hw:  # strip host-side frontend pad
             packed = packed[:, :crop_hw[0], :crop_hw[1]]
@@ -207,18 +237,19 @@ def _decode_batch(
         )(packed, mx, my)                                # [B, D, W, W]
 
     # stage B: ONE batched component analysis over all B*D windows
-    # (analyze_batch packs window pairs to full 128-lane rows)
-    disk_b = jnp.broadcast_to(pa.mask_full[None], (B, D, W, W))
-    comp = comp_ops.analyze_batch(
-        masked.reshape(B * D, W, W),
-        closed.reshape(B * D, W, W),
-        disk_b.reshape(B * D, W, W),
-        # the fused VMEM-resident propagation kernel is TPU-only; ride
-        # the same platform switch as the correlation kernel
-        impl="pallas" if conv_precision == "pallas" else "xla",
-        static_bbox=static_bbox,
-        caps=ccl_caps,
-    )
+    # (the quad-kernel path above already produced `comp`)
+    if not use_quad_kernels:
+        disk_b = jnp.broadcast_to(pa.mask_full[None], (B, D, W, W))
+        comp = comp_ops.analyze_batch(
+            masked.reshape(B * D, W, W),
+            closed.reshape(B * D, W, W),
+            disk_b.reshape(B * D, W, W),
+            # the fused VMEM-resident propagation kernel is TPU-only;
+            # ride the same platform switch as the correlation kernel
+            impl="pallas" if conv_precision == "pallas" else "xla",
+            static_bbox=static_bbox,
+            caps=ccl_caps,
+        )
     has_any = comp.has_any.reshape(B, D)
     conv = comp.converged.reshape(B, D)
     needle = comp.needle_region.reshape(B, D, W * W)

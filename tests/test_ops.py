@@ -317,3 +317,22 @@ def test_decoder_rescue_path_end_to_end():
     assert np.array_equal(res.value, good.value)
     assert np.array_equal(res.err, good.err)
     assert np.array_equal(res.dial_pos, good.dial_pos)
+
+
+def test_quad_kernels_match_xla_on_tpu():
+    """Fused windows+quad-CCL kernels vs the XLA window stage + pair
+    CCL: bit-equality of masks, owner keys, and convergence (TPU only —
+    CPU backends fuse f32 HLS graphs with excess precision per graph
+    STRUCTURE, so differently-shaped graphs legitimately differ there;
+    see experiments/quad_kernels_check.py)."""
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    if dev.platform != "tpu":
+        pytest.skip("quad-kernel equality is defined on strict-f32 TPU")
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "experiments/quad_kernels_check.py"],
+        capture_output=True, text=True, timeout=560, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert out.count("equal: True") >= 8 and "False" not in out, out
