@@ -220,6 +220,7 @@ def pack_crops(crops_u8: np.ndarray, pad_hw=None) -> np.ndarray:
 
 
 def frontend_pad_hw():
-    """The (H, W) padding the Pallas frontend kernel expects."""
-    from ..ops.pallas_frontend import H_PAD, W_PAD
-    return (H_PAD, W_PAD)
+    """The (H, W) padding the Pallas frontend kernel expects (the
+    canonical [256, 256] staging shape; the rotate pad is built in
+    VMEM inside the kernel)."""
+    return (256, 256)

@@ -135,7 +135,7 @@ def _decode_batch(
     use_frontend = (
         conv_precision == "pallas"
         and crop_hw == (250, 250)
-        and packed.shape[1:3] in ((250, 250), (_FE_H, _FE_W))
+        and packed.shape[1:3] in ((250, 250), (256, 256), (_FE_H, _FE_W))
         and pa.template_u8.shape == (119, 188)
         and static_win_origin is not None
         and len(static_win_origin) == D
