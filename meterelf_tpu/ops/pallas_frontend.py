@@ -83,6 +83,14 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref,
     bank_ref: [BANK_M, BANK_K] i8 shifted-template bank. c1_ref: [1] f32
     SMEM = 128 - template_mean. sw_ref: [SW_H, SW_W] i32 superwindow.
     stat_ref: [8, 128] f32."""
+    max_val, mx, my, sw = _frontend_core(img_ref, bank_ref, c1_ref,
+                                         corr_ref)
+    sw_ref[...] = sw
+    stat_ref[...] = _stat_tile(max_val, mx, my)
+
+
+def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref):
+    """Shared scorer body -> (max_val, mx, my, superwindow VALUE)."""
     i32 = jnp.int32
     f32 = jnp.float32
 
@@ -158,14 +166,18 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref,
     # ---- superwindow extraction: rotate rows by my, cols by mx ----
     rot = pltpu.roll(v, i32(H_PAD) - my, 0)         # row i <- row i+my
     rot = pltpu.roll(rot, i32(W_PAD) - mx, 1)       # col j <- col j+mx
-    sw_ref[...] = rot[0:SW_H, 0:SW_W]
+    return max_val, mx, my, rot[0:SW_H, 0:SW_W]
 
+
+def _stat_tile(max_val, mx, my):
+    i32 = jnp.int32
+    f32 = jnp.float32
     stat = jnp.zeros((8, 128), f32)
     lane8 = lax.broadcasted_iota(i32, (8, 128), 1)
     stat = jnp.where(lane8 == 0, max_val, stat)
     stat = jnp.where(lane8 == 1, mx.astype(f32), stat)
     stat = jnp.where(lane8 == 2, my.astype(f32), stat)
-    stat_ref[...] = stat
+    return stat
 
 
 def _template_bank(template_u8: jnp.ndarray) -> jnp.ndarray:
@@ -237,3 +249,4 @@ def frontend_pallas(
     mx = stat[:, 0, 1].astype(jnp.int32)
     my = stat[:, 0, 2].astype(jnp.int32)
     return max_val, mx, my, sw
+

@@ -165,8 +165,18 @@ def _windows_kernel(sw_ref, disk_ref, cr_ref, hs_ref, bits_ref, *,
     disk_ref: [W, QUAD_W] i32 static disk quad. cr_ref: [8, 128] i32
     color ranges (row d, lanes 0..2 = h/l/s). hs_ref: [1] i32 SMEM hue
     shift. bits_ref: [W, QUAD_W] i32 output quad."""
+    bits_ref[...] = bits_from_sw(
+        sw_ref[...], disk_ref[...], cr_ref, hs_ref[0],
+        origins=origins, centers=centers, div_impl=div_impl)
+
+
+def bits_from_sw(sw, disk, cr_ref, hs, *, origins, centers,
+                 div_impl="dekker"):
+    """Pure-value window-mask body: [SW_H, SW_W] i32 superwindow (value)
+    -> [W, QUAD_W] i32 packed bits. Shared by the standalone windows
+    kernel and the merged frontend+windows kernel
+    (ops/pallas_frontend.frontend_windows_pallas)."""
     i32 = jnp.int32
-    sw = sw_ref[...]
 
     # assemble the quad: 4 window slices side by side. Each window is
     # rotated to origin first (static rolls) so every slice and the
@@ -181,7 +191,7 @@ def _windows_kernel(sw_ref, disk_ref, cr_ref, hs_ref, bits_ref, *,
     b = (quad & i32(255)).astype(_F)
     g = ((quad >> 8) & i32(255)).astype(_F)
     r = ((quad >> 16) & i32(255)).astype(_F)
-    h, l, s = _hls_planes(b, g, r, hs_ref[0], div_impl=div_impl)
+    h, l, s = _hls_planes(b, g, r, hs, div_impl=div_impl)
 
     lane = lax.broadcasted_iota(i32, (W, QUAD_W), 1)
 
@@ -222,10 +232,9 @@ def _windows_kernel(sw_ref, disk_ref, cr_ref, hs_ref, bits_ref, *,
            & (l >= lo_l) & (l <= hi_l)
            & (s >= lo_s) & (s <= hi_s)).astype(i32)
     closed = _close3_blocked(raw, lane)
-    disk = disk_ref[...]
     masked = closed & disk
-    bits_ref[...] = (masked | (disk << 1) | (closed << 2)
-                     | (raw << 3))  # bit 3: pre-close raw (debug)
+    return (masked | (disk << 1) | (closed << 2)
+            | (raw << 3))  # bit 3: pre-close raw (debug)
 
 
 def window_bits_quads(
