@@ -10,12 +10,27 @@ Semantics replicated:
   "outside" background (4-connected, per Suzuki duality) from outside the
   dial disk.
 - contourArea is the Green-formula area of the traced outer boundary.
-  We use the Pick-theorem surrogate  area = F - B/2 - 1  (F = pixels
-  inside-or-on the filled outer polygon, including holes; B = component
-  pixels 8-adjacent to outside). Validated over all 1208 corpus dials:
-  the surrogate picks the same largest component, makes the same
-  (area > 100) decision, and produces the identical filled mask
-  (experiments/area_check.py).
+  We compute it EXACTLY via a marching-squares identity: over all 2x2
+  pixel cells, count the component's F-set corners (F = component plus
+  its enclosed holes); a cell with 4 F-corners contributes 1, with
+  exactly 3 F-corners contributes 1/2:
+
+      contourArea = Q4 + Q3 / 2.
+
+  Why this is exact: the traced polygon (Suzuki border following
+  through pixel centers) covers each unit cell according to its corner
+  pattern — 4 corners inside-or-on give a full cell, 3 give a corner
+  triangle (the boundary cuts the cell diagonally), 2-adjacent give a
+  boundary edge (zero enclosed area), and 2-diagonal give either a
+  doubly-traced degenerate segment (spur/pinch, zero area) or, when one
+  off-diagonal corner is an enclosed hole, a 3-F-corner cell (holes are
+  in F). 1-px-wide spurs, diagonal pinches, and hole closures all fall
+  out of the same rule. Validated against cv2.contourArea on 20k+
+  random 8-connected components with holes/spurs (zero mismatches) and
+  the full corpus; the earlier Pick surrogate 2F-B-2 overcounted B at
+  concave corners (pixels only diagonally adjacent to outside are not
+  on cv2's trace) and mis-ranked near-threshold blobs (the round-1
+  oracle-fuzz frame-10 failure).
 - drawContours(..., thickness=-1) fill = component plus its enclosed
   holes.
 - Largest selection replicates Python's stable sorted()[-1]: ties by
@@ -31,9 +46,13 @@ TPU mapping (measured in docs/performance.md):
   and reused by every propagation pass — that alone removes ~32 of the
   ~80 memory-bound scan ops per call;
 - per-component stats ride ONE uint16 sort per window (a (key, payload)
-  i32 pair sort is ~4.5x more expensive): key = owner*4 + bits, run
-  length gives F directly, and a single packed cumsum carries both the
-  masked and boundary counts.
+  i32 pair sort is ~4.5x more expensive): key = owner*16 + bits with
+  the owner label remapped to the static stats bbox (so the key fits
+  u16), and a single packed cumsum carries both the boundary count and
+  the cell-area total. The per-cell area contributions are folded into
+  the key's low 2 bits: each cell's value (2 or 1) is assigned to its
+  first F corner in raster order, which is provably the NW or NE
+  corner, bounding any pixel's total at 3.
 - window-pair lane packing ([M, 64, 128]) was tried and is ~50% SLOWER
   than the plain [K, 64, 64] batch (experiments/ccl_variants.py) — XLA's
   chosen layouts beat hand-packing here; do not resurrect it.
@@ -307,6 +326,46 @@ def _propagate_xla(
     return okey, converged
 
 
+def _cell_contrib(owner: jnp.ndarray, N: int) -> jnp.ndarray:
+    """Per-pixel marching-squares area contributions (2x scale).
+
+    owner: [..., W, W] i32 component label at F-set pixels (component +
+    enclosed holes), N elsewhere. Each 2x2 cell contributes 2 (all four
+    corners in one component's F-set) or 1 (exactly three) to that
+    component's doubled contourArea — see the module docstring for why
+    this reproduces cv2's Green-formula value exactly. All F corners
+    within one cell are 8-adjacent, hence share a component, so the
+    cell's component is the corner minimum. The cell value is assigned
+    to the first F corner in raster order; for a contributing cell
+    (k >= 3) that corner is necessarily the NW or NE one, so a pixel
+    collects at most 2 + 1 = 3 — two bits, which is what lets the sort
+    path fold contributions into its u16 key.
+    """
+    o00 = owner[..., :-1, :-1]
+    o01 = owner[..., :-1, 1:]
+    o10 = owner[..., 1:, :-1]
+    o11 = owner[..., 1:, 1:]
+    m = jnp.minimum(jnp.minimum(o00, o01), jnp.minimum(o10, o11))
+    e00 = o00 == m
+    e01 = o01 == m
+    e10 = o10 == m
+    e11 = o11 == m
+    k = (e00.astype(jnp.int32) + e01.astype(jnp.int32)
+         + e10.astype(jnp.int32) + e11.astype(jnp.int32))
+    has = m < N
+    cls = jnp.where(has & (k == 4), 2, jnp.where(has & (k == 3), 1, 0))
+    a01 = e01 & ~e00
+    a10 = e10 & ~e00 & ~e01
+    a11 = e11 & ~e00 & ~e01 & ~e10
+    z2 = [(0, 0)] * (owner.ndim - 2)
+    return (
+        jnp.pad(cls * e00, z2 + [(0, 1), (0, 1)])
+        + jnp.pad(cls * a01, z2 + [(0, 1), (1, 0)])
+        + jnp.pad(cls * a10, z2 + [(1, 0), (0, 1)])
+        + jnp.pad(cls * a11, z2 + [(1, 0), (1, 0)])
+    )
+
+
 def _finalize(
     okey: jnp.ndarray,       # [K, W, W] i32 packed owner key
     masked: jnp.ndarray,     # [K, W, W] bool
@@ -317,34 +376,56 @@ def _finalize(
 ) -> ComponentResult:
     K, W, _ = okey.shape
     N = W * W
+    owner_full = okey >> 2                       # owner, N at non-support
+    contrib = _cell_contrib(owner_full, N)
+    bbit = okey & 1
 
-    # ---- per-component statistics ----
-    # key = owner*4 + masked*2 + boundary <= 4*N + 3 < 2^16.
     # Every support pixel lies inside the dial disk, so when the caller
     # provides a static per-dial bounding box the stats cover SB*SB keys
-    # instead of W*W (out-of-box pixels all carry the non-support key and
-    # contribute nothing to any component's totals).
+    # instead of W*W, and owner labels remap to bbox-local flat indices
+    # (a monotone map, so min-label identities and the raster tie-break
+    # order are preserved) — which is what makes the sort key fit u16.
     if static_bbox is not None:
         origins, SB = static_bbox
         D = len(origins)
-        ok4 = okey.reshape(K // D, D, W, W)
-        packed = jnp.stack(
-            [ok4[:, i, oy:oy + SB, ox:ox + SB]
-             for i, (ox, oy) in enumerate(origins)], axis=1,
-        ).reshape(K, SB * SB)
-        NS = SB * SB
+        SENT = SB * SB
+
+        def pack(x):
+            x4 = x.reshape(K // D, D, W, W)
+            return jnp.stack(
+                [x4[:, i, oy:oy + SB, ox:ox + SB]
+                 for i, (ox, oy) in enumerate(origins)], axis=1,
+            ).reshape(K, SENT)
+
+        oy_r = jnp.asarray(
+            [origins[k % D][1] for k in range(K)], jnp.int32)[:, None]
+        ox_r = jnp.asarray(
+            [origins[k % D][0] for k in range(K)], jnp.int32)[:, None]
+        ow = pack(owner_full)
+        ol = jnp.where(
+            ow < N, (ow // W - oy_r) * SB + (ow % W - ox_r), SENT)
+        pb, pc = pack(bbit), pack(contrib)
     else:
-        packed = okey.reshape(K, N)
-        NS = N
+        SENT = N
+        ol = owner_full.reshape(K, N)
+        pb = bbit.reshape(K, N)
+        pc = contrib.reshape(K, N)
+        oy_r = ox_r = None
 
     if stats == "hist":
-        sel, area2_sel = _stats_hist(packed, K, NS, N)
+        sel_l, area2_sel, sel_valid = _stats_hist(ol, pb, pc, SENT)
     else:
-        sel, area2_sel = _stats_sort(packed, K, NS, N)
+        sel_l, area2_sel, sel_valid = _stats_sort(ol, pb, pc, SENT)
 
-    big_blob = area2_sel > 200  # contourArea > 100 (reference threshold)
-    owner_key = okey >> 2                       # owner, N at non-support
-    fill_sel = ((owner_key == sel[:, None, None])
+    if static_bbox is not None:
+        sel = ((sel_l // SB + oy_r[:, 0]) * W
+               + (sel_l % SB) + ox_r[:, 0])
+    else:
+        sel = sel_l
+    sel = jnp.where(sel_valid, sel, N)
+
+    big_blob = sel_valid & (area2_sel > 200)  # contourArea > 100
+    fill_sel = ((owner_full == sel[:, None, None])
                 & (sel[:, None, None] < N))
     needle_region = jnp.where(big_blob[:, None, None], fill_sel, closed)
 
@@ -355,96 +436,97 @@ def _finalize(
     )
 
 
-def _stats_hist(packed: jnp.ndarray, K: int, NS: int, N: int):
-    """Per-component (F, C, B) via an MXU one-hot histogram.
+def _stats_hist(ol: jnp.ndarray, bbit: jnp.ndarray, contrib: jnp.ndarray,
+                SENT: int):
+    """Largest-component selection via an MXU one-hot histogram.
 
-    owner = hi*64 + lo with hi, lo < 64 (owner = N = 4096 at
-    non-support pixels falls outside the hi range and drops out).  One
-    batched int8 matmul between the hi one-hot [K, 64, NS] and the lo
-    one-hot weighted by the three indicator payloads [K, NS, 3*64]
-    yields all three 64x64 histograms at once, exactly, in i32:
+    ol = hi*64 + lo with hi, lo < 64 (the non-support sentinel falls
+    outside the hi one-hot range or lands on a B = 0 cell and drops
+    out). One batched int8 matmul between the hi one-hot [K, 64, NS]
+    and the lo one-hot weighted by the two payloads [K, NS, 2*64]
+    yields both 64x64 histograms at once, exactly, in i32:
 
-        F[hi, lo] = #support pixels of owner      (one-hot weight 1)
-        C[hi, lo] = #masked pixels of owner       (weight masked-bit)
-        B[hi, lo] = #boundary pixels of owner     (weight boundary-bit)
+        B[hi, lo]  = #trace pixels of owner   (weight boundary-bit)
+        A2[hi, lo] = doubled contourArea      (weight cell contrib)
+
+    B > 0 marks candidate components: exactly the top-level ones (every
+    top-level component touches outside-adjacent background; components
+    nested inside another component's hole never do, and RETR_EXTERNAL
+    never lists them — reference _reading.py:134-140).
 
     Measured on v5e (experiments/stats_prof.py): the one-hot
-    materializations (~300 MB HBM at K=2048) make this SLOWER than the
-    u16 sort in XLA form (4.0 vs 3.1 ms/batch at B=256) — kept as a
-    cross-validated alternative (and the design for an eventual
-    VMEM-resident in-kernel variant, where the one-hots never touch
-    HBM).  Selection key and tie-break are identical to the sort path
-    (area2*N + owner, larger owner wins ties = Python's stable
+    materializations make this SLOWER than the u16 sort in XLA form —
+    kept as a cross-validated alternative (and the design for an
+    eventual VMEM-resident in-kernel variant, where the one-hots never
+    touch HBM). Selection key and tie-break are identical to the sort
+    path (area2*4096 + owner, larger owner wins ties = Python's stable
     sorted()[-1], reference _reading.py:132-148)."""
-    owner = packed >> 2                          # [K, NS], N at non-support
-    mbit = ((packed >> 1) & 1).astype(jnp.int8)
-    bbit = (packed & 1).astype(jnp.int8)
-    support = (owner < N).astype(jnp.int8)
-    hi = owner >> 6
-    lo = owner & 63
-
+    K, NS = ol.shape
+    hi = ol >> 6
+    lo = ol & 63
     iota64 = lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
     a = (hi[:, None, :] == jnp.transpose(iota64, (0, 2, 1))
          ).astype(jnp.int8)                      # [K, 64, NS]
-    ol = (lo[:, :, None] == iota64).astype(jnp.int8)   # [K, NS, 64]
+    oh = lo[:, :, None] == iota64                # [K, NS, 64]
     bm = jnp.concatenate(
-        [ol * support[:, :, None], ol * mbit[:, :, None],
-         ol * bbit[:, :, None]], axis=2)         # [K, NS, 192]
+        [oh * bbit[:, :, None], oh * contrib[:, :, None]],
+        axis=2).astype(jnp.int8)                 # [K, NS, 128]
     h = lax.dot_general(
         a, bm, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)        # [K, 64, 192]
-    f = h[:, :, 0:64].reshape(K, 4096)
-    c = h[:, :, 64:128].reshape(K, 4096)
-    bc = h[:, :, 128:192].reshape(K, 4096)
+        preferred_element_type=jnp.int32)        # [K, 64, 128]
+    bc = h[:, :, 0:64].reshape(K, 4096)
+    area2 = h[:, :, 64:128].reshape(K, 4096)
 
-    area2 = 2 * f - bc - 2
     cell = lax.broadcasted_iota(jnp.int32, (K, 4096), 1)
-    valid = (f > 0) & (c > 0)
-    key = jnp.where(valid, jnp.maximum(area2, 0) * N + cell, jnp.int32(-1))
+    valid = bc > 0
+    key = jnp.where(valid, area2 * 4096 + cell, jnp.int32(-1))
     i_sel = jnp.argmax(key, axis=1)
     sel = jnp.take_along_axis(cell, i_sel[:, None], 1)[:, 0]
     area2_sel = jnp.take_along_axis(area2, i_sel[:, None], 1)[:, 0]
-    # component-free window: match the sort path exactly (its single
-    # all-non-support run yields sel = N, area2 = 2*NS-2 > threshold,
-    # so the empty fill mask is selected)
-    any_valid = valid.any(axis=1)
-    sel = jnp.where(any_valid, sel, jnp.int32(N))
-    area2_sel = jnp.where(any_valid, area2_sel, jnp.int32(2 * NS - 2))
-    return sel, area2_sel
+    sel_valid = jnp.take_along_axis(valid, i_sel[:, None], 1)[:, 0]
+    return sel, area2_sel, sel_valid
 
 
-def _stats_sort(packed: jnp.ndarray, K: int, NS: int, N: int):
-    """Per-component statistics via ONE u16 sort + prefix scans (the
-    pre-histogram path; kept for cross-validation and as a fallback).
-    Run order within a key is irrelevant (only run totals are used)."""
-    (spk16,) = lax.sort(
-        (packed.astype(jnp.uint16),), dimension=1, num_keys=1)
-    spk = spk16.astype(jnp.int32)
-    sk = spk >> 2
+def _stats_sort(ol: jnp.ndarray, bbit: jnp.ndarray, contrib: jnp.ndarray,
+                SENT: int):
+    """Largest-component selection via ONE narrow sort + prefix scans.
+
+    key = owner*16 + boundary*4 + contrib: sorting groups each
+    component's pixels into one run; a single packed cumsum then yields
+    per-run totals of both payloads (doubled area in the low half,
+    boundary count in the high half — their row sums stay well under
+    2^16 each). B > 0 marks candidates: exactly the top-level
+    components (cv2 trace pixels exist only for components that touch
+    outside-adjacent background; components nested inside another
+    component's hole never do, and RETR_EXTERNAL never lists them).
+    The key fits u16 when the caller's owner remap allows
+    (SENT+1)*16 <= 2^16; the general path sorts i32."""
+    K, NS = ol.shape
+    key = ol * 16 + bbit * 4 + contrib
+    if (SENT + 1) * 16 <= 1 << 16:
+        (skey,) = lax.sort(
+            (key.astype(jnp.uint16),), dimension=1, num_keys=1)
+        spk = skey.astype(jnp.int32)
+    else:
+        (spk,) = lax.sort((key,), dimension=1, num_keys=1)
+    sk = spk >> 4
 
     nxt = jnp.concatenate([sk[:, 1:], jnp.full((K, 1), -1, sk.dtype)], 1)
     run_end = sk != nxt
-    pos1 = lax.broadcasted_iota(jnp.int32, (K, NS), 1) + 1
-
-    # one packed cumsum carries both the masked count (C, low 16 bits)
-    # and the boundary count (B, high bits); each <= N = 2^12
-    cum_cb = jnp.cumsum(((spk >> 1) & 1) + ((spk & 1) << 16), axis=1)
+    cum = jnp.cumsum((spk & 3) + (((spk >> 2) & 1) << 16), axis=1)
 
     def prev_run(v):
         m = lax.cummax(jnp.where(run_end, v, 0), axis=1)
         return jnp.concatenate([jnp.zeros((K, 1), m.dtype), m[:, :-1]], 1)
 
-    cb = cum_cb - prev_run(cum_cb)
-    C = cb & 0xFFFF
-    Bc = cb >> 16
-    # F (support count of the run) = run length, from run extents alone
-    F = pos1 - prev_run(pos1)
+    tot = cum - prev_run(cum)
+    area2 = tot & 0xFFFF
+    bc = tot >> 16
 
-    # area surrogate x2 (integer): 2*contourArea = 2F - B - 2
-    area2 = 2 * F - Bc - 2
-    valid = run_end & (C > 0) & (sk < N)
-    key = jnp.where(valid, jnp.maximum(area2, 0) * N + sk, jnp.int32(-1))
-    i_sel = jnp.argmax(key, axis=1)
+    valid = run_end & (sk < SENT) & (bc > 0)
+    key2 = jnp.where(valid, area2 * (SENT + 1) + sk, jnp.int32(-1))
+    i_sel = jnp.argmax(key2, axis=1)
     sel = jnp.take_along_axis(sk, i_sel[:, None], 1)[:, 0]          # [K]
     area2_sel = jnp.take_along_axis(area2, i_sel[:, None], 1)[:, 0]
-    return sel, area2_sel
+    sel_valid = jnp.take_along_axis(valid, i_sel[:, None], 1)[:, 0]
+    return sel, area2_sel, sel_valid
