@@ -1,13 +1,15 @@
 """End-to-end fuzz against the REFERENCE pipeline as an executable
 oracle: random synthetic frames (random needle angles, cluster offsets,
-stub needles, pixel noise) are decoded by our batched graph AND by the
-reference package itself (executed from /root/reference with the same
-compat shims the golden-parity work validated — cv2-3 API arities,
-old-cv2-exact HLS, pyyaml Loader), then compared.
+stub needles, pixel noise, speckle clusters near the dials) are decoded
+by our batched graph AND by the reference package itself (executed from
+/root/reference with the same compat shims the golden-parity work
+validated — cv2-3 API arities, old-cv2-exact HLS, pyyaml Loader), then
+compared.
 
 This covers the space the golden corpus cannot: arbitrary needle
-configurations, carry-correction boundaries, unreadable dials, and
-noisy masks, with the reference's own control flow as ground truth.
+configurations, carry-correction boundaries, unreadable dials, noisy
+masks, near-threshold contour areas, and a second camera geometry
+(ALT_CAMERA) that runs the generic (non-fused) decode paths.
 """
 import os
 import sys
@@ -23,21 +25,23 @@ pytestmark = pytest.mark.skipif(
     reason="reference package not mounted")
 
 
-@pytest.fixture(scope="module")
-def oracle(tmp_path_factory):
-    """(decode_frame, params_path): the shimmed reference pipeline over
-    the default synthetic camera."""
+@pytest.fixture(scope="module", params=["default", "alt"])
+def oracle(request, tmp_path_factory):
+    """(decode_frame, params, camera): the shimmed reference pipeline
+    over one synthetic camera geometry."""
     import yaml
     from meterelf_tpu import synthetic
     from meterelf_tpu.api import _host_hls
 
-    d = str(tmp_path_factory.mktemp("oracle_cam"))
-    params = synthetic.make_params(d)  # writes the template PNG
+    camera = (synthetic.DEFAULT_CAMERA if request.param == "default"
+              else synthetic.ALT_CAMERA)
+    d = str(tmp_path_factory.mktemp(f"oracle_cam_{request.param}"))
+    params = camera.make_params(d)  # writes the template PNG
     yml = os.path.join(d, "params.yml")
     with open(yml, "w") as fp:
         yaml.safe_dump(
-            synthetic.DEFAULT_CAMERA.params_dict(
-                os.path.join(d, "synthetic_template.png")), fp)
+            camera.params_dict(os.path.join(d, "synthetic_template.png")),
+            fp)
 
     # ---- shims (reference runs as an oracle, never copied) ----
     real_yaml_load = yaml.load
@@ -89,7 +93,7 @@ def oracle(tmp_path_factory):
             return None, type(exc).__name__
 
     try:
-        yield decode_frame, params
+        yield decode_frame, params, camera
     finally:
         yaml.load = real_yaml_load
         cv2.findContours = real_find_contours
@@ -98,10 +102,15 @@ def oracle(tmp_path_factory):
         sys.path.remove(REF)
 
 
-def _frames(n=20, seed=7):
-    from meterelf_tpu import synthetic
-
+def _frames(camera, n, seed):
+    """Adversarial frame mix: random angles, carry-correction
+    boundaries, stub needles, sparse/dense speckle, and speckle
+    clusters painted near the dials (near-threshold contour areas,
+    largest-component ties, hole closures)."""
     rng = np.random.default_rng(seed)
+    (x0, y0), (x1, y1) = camera.meter_rect
+    max_ox = (x1 - x0) - camera.template_w - 1
+    max_oy = (y1 - y0) - camera.template_h - 1
     frames = []
     for i in range(n):
         pos = [float(p) for p in rng.uniform(0, 10, 4)]
@@ -114,48 +123,72 @@ def _frames(n=20, seed=7):
                    rng.uniform(0, 10)]
             pos = [float(p) for p in pos]
         stub = (2,) if i % 7 == 3 else ()
-        off = (int(rng.integers(5, 55)), int(rng.integers(5, 55)))
-        f = synthetic.render_frame(pos, offset=off, stub_dials=stub)
+        off = (int(rng.integers(5, max_ox)), int(rng.integers(5, max_oy)))
+        f = camera.render_frame(pos, offset=off, stub_dials=stub)
         if i % 4 == 2:
             # sparse speckle noise (stresses CCL + largest-component)
             m = rng.random(f.shape[:2]) < 0.001
             f[m] = (40, 40, 200)
+        if i % 6 == 5:
+            # denser speckle: clustered blobs, merged components, holes
+            m = rng.random(f.shape[:2]) < 0.004
+            f[m] = (40, 40, 200)
+        if i % 9 == 4:
+            # needle-colored blobs near the dial centers: near-threshold
+            # contour areas and largest-selection ties
+            ox = x0 + off[0]
+            oy = y0 + off[1]
+            for _ in range(rng.integers(2, 7)):
+                name, (cx, cy), diam = camera.dial_specs[
+                    rng.integers(0, len(camera.dial_specs))]
+                bx = ox + int(cx) + int(rng.integers(-diam - 9, diam + 9))
+                by = oy + int(cy) + int(rng.integers(-diam - 9, diam + 9))
+                r = int(rng.integers(1, 4))
+                f[max(by - r, 0):by + r + 1, max(bx - r, 0):bx + r + 1] = (
+                    40, 40, 200)
         frames.append(f)
     return frames
 
 
-def test_fuzz_against_reference_oracle(oracle):
-    from meterelf_tpu import synthetic
+def _run_and_compare(oracle, frames, chunk=8):
     from meterelf_tpu.errors import ErrCode
     from meterelf_tpu.pipeline.decode import MeterDecoder
 
-    decode_frame, params = oracle
-    frames = _frames()
-    (x0, y0), (x1, y1) = synthetic.METER_RECT
+    decode_frame, params, camera = oracle
+    (x0, y0), (x1, y1) = camera.meter_rect
     crops = np.stack([f[y0:y1, x0:x1] for f in frames])
 
     dec = MeterDecoder(params, exact=True)
-    res = dec.decode_numpy(crops)
+    fields = None
+    for i0 in range(0, len(crops), chunk):
+        part = crops[i0:i0 + chunk]
+        if len(part) < chunk:  # pad to the compiled batch shape
+            part = np.concatenate(
+                [part, np.repeat(part[-1:], chunk - len(part), axis=0)])
+        r = dec.decode_numpy(part)
+        fields = (r if fields is None
+                  else type(r)(*[np.concatenate([a, b])
+                                 for a, b in zip(fields, r)]))
+    res = fields
 
-    name_order = [s[0] for s in synthetic.DIAL_SPECS]
+    name_order = [s[0] for s in camera.dial_specs]
     mismatches = []
     for i, f in enumerate(frames):
         mv, err_name = decode_frame(f)
         if err_name is None:
-            ok_dials = {k for k in mv if k != "value"}
-            if "value" in mv:
-                if res.err[i] != ErrCode.OK:
-                    mismatches.append((i, "oracle ok, ours err",
-                                       int(res.err[i])))
-                    continue
-                if abs(float(res.value[i]) - mv["value"]) > 5e-6:
-                    mismatches.append((i, "value", float(res.value[i]),
-                                       mv["value"]))
-                for d, nm in enumerate(name_order):
-                    if abs(float(res.dial_pos[i, d]) - mv[nm]) > 5e-6:
-                        mismatches.append((i, f"dial {nm}",
-                                           float(res.dial_pos[i, d]),
-                                           mv[nm]))
+            if res.err[i] != ErrCode.OK:
+                mismatches.append((i, "oracle ok, ours err",
+                                   int(res.err[i])))
+                continue
+            if "value" in mv and abs(
+                    float(res.value[i]) - mv["value"]) > 5e-6:
+                mismatches.append((i, "value", float(res.value[i]),
+                                   mv["value"]))
+            for d, nm in enumerate(name_order):
+                if nm in mv and abs(
+                        float(res.dial_pos[i, d]) - mv[nm]) > 5e-6:
+                    mismatches.append((i, f"dial {nm}",
+                                       float(res.dial_pos[i, d]), mv[nm]))
             continue
         expected = {
             "DialsNotFoundError": ErrCode.DIALS_NOT_FOUND,
@@ -167,3 +200,19 @@ def test_fuzz_against_reference_oracle(oracle):
         elif res.err[i] != expected:
             mismatches.append((i, "error code", int(res.err[i]), err_name))
     assert not mismatches, mismatches
+
+
+@pytest.mark.parametrize("seed", [7, 101, 202])
+def test_fuzz_against_reference_oracle(oracle, seed):
+    _, _, camera = oracle
+    from meterelf_tpu import synthetic
+
+    # 3 seeds x 70 frames on the fused-path camera (>= 200 total);
+    # the alt geometry runs one 40-frame seed through the generic paths
+    if camera is synthetic.ALT_CAMERA:
+        if seed != 7:
+            pytest.skip("alt geometry runs one seed")
+        n = 40
+    else:
+        n = 70
+    _run_and_compare(oracle, _frames(camera, n, seed))
