@@ -38,23 +38,19 @@ def _parity_match_val(filename: str, params: Params) -> Optional[float]:
     """Reproduce cv2's printed TM_CCOEFF max_val for error strings.
 
     cv2 computes the score map via f32 DFT; its max differs from the
-    mathematically exact value by ~1e-6 relative (SURVEY.md §8bis item 4).
-    When cv2 is importable we rescore with it on our (byte-exact) decoded
-    pixels; otherwise return None and the caller uses the graph's f32
-    score."""
-    try:
-        import cv2
-    except Exception:
-        return None
+    mathematically exact value by ~1e-6 relative (SURVEY.md §8bis item
+    4), and the reference's golden strings embed that rounding
+    (reference tests/test_meterelf.py:164-167). ops/cvdft.py replicates
+    the computation bit-exactly with no cv2 dependency; it runs only on
+    match-failure frames (a rare error path), so host numpy is fine."""
+    from .ops.cvdft import match_template_max
+
     img = jpeg_io.decode_file(filename)
     if img is None:
         return None
     crop = jpeg_io.crop_rect(img, params.meter_rect)
     hls = _host_hls(crop, params.hue_shift)
-    res = cv2.matchTemplate(
-        hls[:, :, 1], params.arrays().template_u8, cv2.TM_CCOEFF)
-    (_mn, max_val, _mnl, _mxl) = cv2.minMaxLoc(res)
-    return float(max_val)
+    return match_template_max(hls[:, :, 1], params.arrays().template_u8)
 
 
 def _host_hls(bgr: np.ndarray, hue_shift: int) -> np.ndarray:

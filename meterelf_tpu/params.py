@@ -22,17 +22,14 @@ module precomputes everything the device graph needs as stacked arrays:
 """
 from __future__ import annotations
 
-import dataclasses
 import os
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Type, TypeVar
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 import yaml
 
 from .colors import HlsColor
 from .types import DialCenter, Rect
-
-_T = TypeVar("_T")
 
 TEMPLATE_H = 119  # enforced by params schema in both shipped configs
 TEMPLATE_W = 188
@@ -43,17 +40,89 @@ class LoadError(Exception):
     pass
 
 
-class _Needle:
-    def __init__(self, data: Dict[Any, Any]) -> None:
-        d = TypeCheckedGetter(data)
-        self.name = d.text("name")
-        self.color_range = d.hls_color("color_range")
-        self.dist_from_center = d.integer("dist_from_center")
-        self.circle_thickness = d.integer("circle_thickness")
-        self.angle_of_zero = d.float_num("angle_of_zero")
-        self.center = d.float_point("center")
-        self.diameter = d.integer("diameter")
-        self.negative_momentum = d.boolean("negative_momentum")
+# --------------------------------------------------------------------------
+# Schema-driven YAML validation
+#
+# Each schema entry is (key, converter). Converters are small composable
+# functions raising LoadError with the offending key path; the same
+# machinery validates the top-level mapping and each needle_data entry.
+# Semantics match the reference loader (meterelf/_params.py:17-155):
+# strict isinstance type checks (so "37" is not a valid float coordinate),
+# the (w, h) -> (h, w) swap for dials_template_size, HLS bounds
+# validation, and template-file existence.
+# --------------------------------------------------------------------------
+
+def _typed(tp: type):
+    def conv(value: Any, where: str) -> Any:
+        if not isinstance(value, tp):
+            raise LoadError(f"{where}: expected {tp.__name__}, "
+                            f"got {type(value).__name__}")
+        return value
+    return conv
+
+
+def _pair_of(tp: type):
+    def conv(value: Any, where: str) -> Tuple[Any, Any]:
+        if (not isinstance(value, list) or len(value) != 2
+                or not all(isinstance(v, tp) for v in value)):
+            raise LoadError(f"{where}: expected a pair of {tp.__name__}")
+        return (value[0], value[1])
+    return conv
+
+
+def _hls(value: Any, where: str) -> HlsColor:
+    fields = _convert_mapping(
+        value, [("h", _typed(int)), ("l", _typed(int)),
+                ("s", _typed(int))], where)
+    return HlsColor(fields["h"], fields["l"], fields["s"]).validate()
+
+
+def _rect(value: Any, where: str) -> Rect:
+    fields = _convert_mapping(
+        value, [("top_left", _pair_of(int)),
+                ("bottom_right", _pair_of(int))], where)
+    return Rect(top_left=fields["top_left"],
+                bottom_right=fields["bottom_right"])
+
+
+def _size_hw(value: Any, where: str) -> Tuple[int, int]:
+    w, h = _pair_of(int)(value, where)
+    return (h, w)  # YAML declares (w, h); everything downstream is (h, w)
+
+
+def _convert_mapping(data: Any, schema, where: str) -> Dict[str, Any]:
+    if not isinstance(data, dict):
+        raise LoadError(f"{where}: expected a mapping")
+    out = {}
+    for key, conv in schema:
+        if key not in data:
+            raise LoadError(f"{where}: missing key {key!r}")
+        out[key] = conv(data[key], f"{where}.{key}")
+    return out
+
+
+_NEEDLE_SCHEMA = [
+    ("name", _typed(str)),
+    ("color_range", _hls),
+    ("dist_from_center", _typed(int)),
+    ("circle_thickness", _typed(int)),
+    ("angle_of_zero", _typed(float)),
+    ("center", _pair_of(float)),
+    ("diameter", _typed(int)),
+    ("negative_momentum", _typed(bool)),
+]
+
+_TOP_SCHEMA = [
+    ("image_glob", _typed(str)),
+    ("meter_rect", _rect),
+    ("dials_template", _typed(str)),
+    ("dials_template_match_threshold", _typed(int)),
+    ("dials_template_size", _size_hw),
+    ("hue_shift", _typed(int)),
+    ("needle_color", _hls),
+    ("needle_color_range", _hls),
+    ("needle_data", _typed(list)),
+]
 
 
 class Params:
@@ -72,38 +141,47 @@ class Params:
         return cls(os.path.dirname(filename), data)
 
     def __init__(self, base_dir: str, data: Dict[Any, Any]) -> None:
-        d = TypeCheckedGetter(data, base_dir=base_dir)
-        self.image_glob: str = d.glob("image_glob")
-        self.meter_rect: Rect = d.rect("meter_rect")
-        self.dials_file: str = d.filename("dials_template")
-        self.dials_match_threshold: int = d.integer("dials_template_match_threshold")
-        self.dials_template_size: Tuple[int, int] = d.size("dials_template_size")
-        self.hue_shift: int = d.integer("hue_shift")
-        self.needle_color = d.hls_color("needle_color")
-        self.needle_color_range = d.hls_color("needle_color_range")
+        top = _convert_mapping(data, _TOP_SCHEMA, "params")
 
-        needle_data_dicts = d.list("needle_data", dict)
-        if not needle_data_dicts:
-            raise LoadError("Must have data of at least one needle")
-        needles = [_Needle(x) for x in needle_data_dicts]
+        def in_base(fn: str) -> str:
+            return os.path.join(base_dir, fn) if base_dir else fn
+
+        self.image_glob: str = in_base(top["image_glob"])
+        self.meter_rect: Rect = top["meter_rect"]
+        self.dials_file: str = in_base(top["dials_template"])
+        if not os.path.exists(self.dials_file):
+            raise LoadError(f"File not found: {self.dials_file}")
+        self.dials_match_threshold: int = top["dials_template_match_threshold"]
+        self.dials_template_size: Tuple[int, int] = top["dials_template_size"]
+        self.hue_shift: int = top["hue_shift"]
+        self.needle_color: HlsColor = top["needle_color"]
+        self.needle_color_range: HlsColor = top["needle_color_range"]
+
+        if not top["needle_data"]:
+            raise LoadError("params.needle_data: at least one needle needed")
+        needles = [
+            _convert_mapping(nd, _NEEDLE_SCHEMA, f"params.needle_data[{i}]")
+            for i, nd in enumerate(top["needle_data"])
+        ]
 
         self.dial_color_range: Dict[str, HlsColor] = {
-            x.name: x.color_range for x in needles
+            n["name"]: n["color_range"] for n in needles
         }
         self.needle_dists_from_dial_center: Dict[str, int] = {
-            x.name: x.dist_from_center for x in needles
+            n["name"]: n["dist_from_center"] for n in needles
         }
         self.needle_circle_mask_thickness: Dict[str, int] = {
-            x.name: x.circle_thickness for x in needles
+            n["name"]: n["circle_thickness"] for n in needles
         }
         self.needle_angles_of_zero: Dict[str, float] = {
-            x.name: x.angle_of_zero for x in needles
+            n["name"]: n["angle_of_zero"] for n in needles
         }
         self.negative_momentum_dials = {
-            x.name for x in needles if x.negative_momentum
+            n["name"] for n in needles if n["negative_momentum"]
         }
         self.dial_centers: Dict[str, DialCenter] = {
-            x.name: DialCenter(x.center, x.diameter) for x in needles
+            n["name"]: DialCenter(n["center"], n["diameter"])
+            for n in needles
         }
 
         self._arrays: Optional[ParamArrays] = None
@@ -120,73 +198,6 @@ class Params:
 
 def load(filename: str) -> Params:
     return Params.load(filename)
-
-
-class TypeCheckedGetter:
-    def __init__(
-        self, data: Dict[Any, Any], *, base_dir: Optional[str] = None
-    ) -> None:
-        self.data = data
-        self.base_dir = base_dir
-
-    def text(self, name: str) -> str:
-        return self._get_value(str, name)
-
-    def boolean(self, name: str) -> bool:
-        return self._get_value(bool, name)
-
-    def integer(self, name: str) -> int:
-        return self._get_value(int, name)
-
-    def float_num(self, name: str) -> float:
-        return self._get_value(float, name)
-
-    def list(
-        self, name: str, tp: Type[_T], length: Optional[int] = None
-    ) -> List[_T]:
-        items = self._get_value(list, name)
-        for (n, item) in enumerate(items):
-            if not isinstance(item, tp):
-                raise LoadError(f"Item {n} in {name} is not {tp.__name__}")
-        if length is not None and len(items) != length:
-            raise LoadError(f"{name} must have exactly {length} items")
-        return items
-
-    def filename(self, name: str) -> str:
-        fn = self.glob(name)
-        if not os.path.exists(fn):
-            raise LoadError(f"File not found: {fn}")
-        return fn
-
-    def glob(self, name: str) -> str:
-        bn = self.text(name)
-        return os.path.join(self.base_dir, bn) if self.base_dir else bn
-
-    def rect(self, name: str) -> Rect:
-        rect_data = TypeCheckedGetter(self.data[name])
-        (tl_x, tl_y) = rect_data.list("top_left", int, 2)
-        (br_x, br_y) = rect_data.list("bottom_right", int, 2)
-        return Rect(top_left=(tl_x, tl_y), bottom_right=(br_x, br_y))
-
-    def size(self, name: str) -> Tuple[int, int]:
-        (w, h) = self.list(name, int, 2)
-        return (h, w)  # converted to (h, w), as in the reference
-
-    def float_point(self, name: str) -> Tuple[float, float]:
-        (x, y) = self.list(name, float, 2)
-        return (x, y)
-
-    def hls_color(self, name: str) -> HlsColor:
-        hls_data = TypeCheckedGetter(self.data[name])
-        return HlsColor(
-            hls_data.integer("h"), hls_data.integer("l"), hls_data.integer("s")
-        ).validate()
-
-    def _get_value(self, tp: Type[_T], name: str) -> _T:
-        value = self.data[name]
-        if not isinstance(value, tp):
-            raise LoadError(f"{name} is not {tp.__name__}")
-        return value
 
 
 # --------------------------------------------------------------------------
