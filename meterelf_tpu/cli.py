@@ -26,9 +26,12 @@ def main(argv: Sequence[str] = None) -> None:
     params_file = argv[1]
     filenames = argv[2:]
     batch_size = int(os.environ.get("METERELF_BATCH_SIZE", "64"))
+    # METERELF_EXACT=0 selects the f32 fast mode (golden-identical
+    # output on the shipped corpora; see docs/parity.md)
+    exact = os.environ.get("METERELF_EXACT", "1") != "0"
 
     for data in get_meter_values(params_file, filenames,
-                                 batch_size=batch_size):
+                                 batch_size=batch_size, exact=exact):
         print(data.filename, end="")
         value_str = "{:07.3f}".format(data.value) if data.value else ""
         error_str = (
