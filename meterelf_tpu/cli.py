@@ -3,6 +3,13 @@
 Output format is byte-identical to the reference, including its quirk of
 printing an empty value when the reading is exactly 0.000 (`if data.value`
 treats 0.0 as falsy, _main.py:17).
+
+DEBUG mode (any token in the ``DEBUG`` env var) appends the per-dial
+reading dict to each line and writes annotated overlay PNGs — the
+headless analog of the reference's cv2.imshow windows
+(meterelf/_reading.py:43-78) — into ``METERELF_DEBUG_DIR`` (default
+``meterelf-debug``); the ``masks`` mode additionally writes the
+precomputed per-dial masks (meterelf/_dial_data.py:50-54 analog).
 """
 from __future__ import annotations
 
@@ -30,6 +37,16 @@ def main(argv: Sequence[str] = None) -> None:
     # output on the shipped corpora; see docs/parity.md)
     exact = os.environ.get("METERELF_EXACT", "1") != "0"
 
+    debug_dir = os.environ.get("METERELF_DEBUG_DIR", "meterelf-debug")
+    debug_params = None
+    if debugging.DEBUG:
+        from . import debugviz
+        from .params import load as load_params
+
+        debug_params = load_params(params_file)
+        if "masks" in debugging.DEBUG:
+            debugviz.render_masks(debug_params, debug_dir)
+
     for data in get_meter_values(params_file, filenames,
                                  batch_size=batch_size, exact=exact):
         print(data.filename, end="")
@@ -39,6 +56,10 @@ def main(argv: Sequence[str] = None) -> None:
             else "")
         extra = " {!r}".format(data.meter_values) if debugging.DEBUG else ""
         print(f": {value_str}{error_str}{extra}")
+        if debug_params is not None and data.error is None:
+            from . import debugviz
+
+            debugviz.render_overlay(data.filename, debug_params, debug_dir)
 
 
 if __name__ == "__main__":

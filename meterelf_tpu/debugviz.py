@@ -1,10 +1,13 @@
 """Headless debug visualization: annotated overlay PNGs.
 
 The reference's DEBUG mode pops cv2.imshow windows with contour/momentum
-overlays (meterelf/_reading.py:43-78); in a TPU/server context those
-become files. `render_debug_overlay` re-derives the per-dial masks for
-one frame on the host (numpy twins of the device ops) and writes an
-upscaled annotated PNG.
+overlays (meterelf/_reading.py:43-78) and per-dial mask windows
+(meterelf/_dial_data.py:50-54); in a TPU/server context those become
+files. `render_overlay` re-derives the per-dial masks for one frame on
+the host (numpy twins of the device ops) and writes an upscaled
+annotated PNG; `render_masks` writes the precomputed dial masks (the
+``masks`` DEBUG mode). Both are wired into the CLI via the ``DEBUG``
+env var (see cli.py).
 """
 from __future__ import annotations
 
@@ -57,7 +60,12 @@ def render_overlay(
     th, tw = pa.template_u8.shape
     dials = hls[my:my + th, mx:mx + tw]
 
-    canvas = np.stack([dials[:, :, 1]] * 3, axis=-1).astype(np.uint8)
+    # true-color backdrop: invert HLS back to BGR (ops/color.py inverse,
+    # reference meterelf/_utils.py:105-110), then flip to RGB for PNG
+    from .ops.color import hls_full_to_bgr
+
+    bgr = np.asarray(hls_full_to_bgr(dials, params.hue_shift))
+    canvas = np.ascontiguousarray(bgr[:, :, ::-1])
     W = DIAL_WIN
     for d in range(pa.mask_full.shape[0]):
         ox, oy = (int(v) for v in pa.win_origin[d])
@@ -84,3 +92,26 @@ def render_overlay(
         out_dir, os.path.basename(filename).rsplit(".", 1)[0] + "_debug.png")
     Image.fromarray(big).save(out_path)
     return out_path
+
+
+def render_masks(params: Params, out_dir: str, scale: int = 4) -> list:
+    """The ``masks`` DEBUG mode: one PNG per dial showing the full needle
+    mask (gray) with the tip annulus highlighted (white) — the headless
+    analog of the reference's per-dial imshow windows
+    (meterelf/_dial_data.py:50-54)."""
+    from PIL import Image
+
+    pa = params.arrays()
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for d, name in enumerate(params.dial_names):
+        full = np.asarray(pa.mask_full[d], bool)
+        circle = np.asarray(pa.mask_circle[d], bool)
+        img = np.zeros(full.shape, np.uint8)
+        img[full] = 128
+        img[circle] = 255
+        big = np.kron(img, np.ones((scale, scale), np.uint8))
+        out_path = os.path.join(out_dir, f"mask_{name}.png")
+        Image.fromarray(big).save(out_path)
+        paths.append(out_path)
+    return paths

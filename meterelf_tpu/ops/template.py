@@ -124,15 +124,3 @@ def crop_at(
     return lax.dynamic_slice(
         img, (y, x, jnp.zeros_like(y)), (th, tw, img.shape[2])
     )
-
-
-def rescore_f64(
-    lightness_u8,  # [th', tw'] window at the argmax, or full image
-    template_u8,
-) -> jnp.ndarray:
-    """Exact f64 TM_CCOEFF score of one window (used for high-precision
-    reporting; note cv2's printed value is its f32-DFT result, which the
-    host-side parity fallback reproduces via cv2 when available)."""
-    t = template_u8.astype(jnp.float64)
-    tz = t - t.mean()
-    return jnp.sum(lightness_u8.astype(jnp.float64) * tz)

@@ -417,6 +417,15 @@ class MeterDecoder:
         Guarantees no silently-mislabeled component analysis ever
         reaches a caller."""
         res = jax.tree.map(np.asarray, self(crops_u8, load_ok))
+        return self.rescue_numpy(crops_u8, res, load_ok)
+
+    def rescue_numpy(self, crops_u8, res, load_ok=None):
+        """Replace any non-converged rows of an already-computed (host)
+        BatchResult for `crops_u8` via the rescue graph — the entry point
+        for callers that dispatched the default graph themselves (e.g.
+        the streaming loop) and only discovered non-convergence at drain
+        time; skips the redundant default-graph re-run decode_numpy
+        would pay."""
         if bool(res.converged.all()):
             return res
         if self._rescue_fn is None:

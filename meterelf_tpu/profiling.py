@@ -38,29 +38,6 @@ class StageTimers:
         return "\n".join(lines)
 
 
-class ThroughputCounter:
-    """images/sec over a sliding horizon."""
-
-    def __init__(self, horizon_seconds: float = 30.0) -> None:
-        self.horizon = horizon_seconds
-        self._events = []  # (t, n)
-
-    def add(self, n: int) -> None:
-        now = time.time()
-        self._events.append((now, n))
-        cutoff = now - self.horizon
-        while self._events and self._events[0][0] < cutoff:
-            self._events.pop(0)
-
-    def rate(self) -> float:
-        if len(self._events) < 2:
-            return 0.0
-        t0 = self._events[0][0]
-        t1 = self._events[-1][0]
-        n = sum(n for (_t, n) in self._events[1:])
-        return n / max(t1 - t0, 1e-9)
-
-
 @contextlib.contextmanager
 def device_trace(log_dir: Optional[str] = None) -> Iterator[None]:
     """jax.profiler trace scope (view with TensorBoard / xprof)."""

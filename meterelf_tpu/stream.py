@@ -10,8 +10,10 @@ per-image readings.
 
 Value semantics: readings are liters mod 1000 (4 dials); the stream
 unwraps rollovers to a cumulative volume and estimates flow over a
-sliding window. A sustained minimum flow across the whole window raises
-the leak flag (no zero-flow interval — the classic water-leak heuristic).
+sliding window. The leak flag trips on sustained flow: the window is
+split into equal time bins and every bin must show consumption — the
+classic water-leak heuristic (no sustained zero-flow period), robust to
+a single flat inter-frame step.
 """
 from __future__ import annotations
 
@@ -24,6 +26,7 @@ import numpy as np
 from .errors import ErrCode
 from .params import Params
 from .pipeline.decode import MeterDecoder
+from .profiling import StageTimers
 
 
 @dataclass
@@ -68,7 +71,9 @@ def stream_decode(
     batch_size: int = 256,
     window_seconds: float = 600.0,
     leak_min_flow_lph: float = 0.5,
+    leak_bins: int = 4,
     timestamps: Optional[Iterable[float]] = None,
+    timers: Optional[StageTimers] = None,
 ) -> Iterator[StreamReport]:
     """Decode a stream of (name, meter-rect crop u8) pairs in batches.
 
@@ -77,6 +82,7 @@ def stream_decode(
     """
     dec = decoder or MeterDecoder(params, exact=True)
     state = _StreamState()
+    tm = timers if timers is not None else StageTimers()
     t_start = time.time()
 
     def batches():
@@ -102,9 +108,20 @@ def stream_decode(
     def drain(names, crops, res) -> StreamReport:
         if not bool(np.asarray(res.converged).all()):
             # pathological masks defeated the corpus-tuned CCL caps:
-            # re-decode this batch through the rescue graph (decode_numpy
-            # merges per-row; raises if even rescue caps don't converge)
-            res = dec.decode_numpy(crops)
+            # replace the non-converged rows via the rescue graph (raises
+            # if even rescue caps don't converge). Injected decoders that
+            # don't expose a rescue path (e.g. bare mesh callables) must
+            # not silently emit potentially-mislabeled readings.
+            if not hasattr(dec, "rescue_numpy"):
+                raise RuntimeError(
+                    "stream batch failed CCL convergence and the injected "
+                    "decoder has no rescue_numpy; refusing to emit "
+                    "potentially mislabeled readings")
+            with tm.stage("rescue"):
+                import jax
+
+                res = dec.rescue_numpy(
+                    crops, jax.tree.map(np.asarray, res))
         err = np.asarray(res.err)[: len(names)]
         values = np.asarray(res.value)[: len(names)]
         now = time.time()
@@ -130,13 +147,17 @@ def stream_decode(
             (t0, c0), (t1, c1) = state.window[0], state.window[-1]
             if t1 > t0:
                 flow = (c1 - c0) * 3600.0 / (t1 - t0)
-                # leak heuristic: every sub-interval in the window shows
-                # consumption (never a zero-flow pause)
-                cums = [c for (_t, c) in state.window]
-                min_step = min(
-                    b - a for a, b in zip(cums[:-1], cums[1:])
-                ) if len(cums) > 1 else 0.0
-                leak = flow >= leak_min_flow_lph and min_step > 0.0
+                # leak heuristic: split the window span into equal time
+                # bins; a leak is sustained flow, so every bin must show
+                # consumption. (Per-step minima are too fragile: one
+                # flat inter-frame step — reading resolution is 0.1 L —
+                # would mask a genuine leak.)
+                ts = np.array([t for (t, _c) in state.window])
+                cs = np.array([c for (_t, c) in state.window])
+                bounds = np.linspace(t0, t1, leak_bins + 1)
+                at = cs[np.searchsorted(ts, bounds, side="right") - 1]
+                leak = (flow >= leak_min_flow_lph
+                        and bool((np.diff(at) > 0.0).all()))
         elapsed = max(now - t_start, 1e-9)
         return StreamReport(
             frames_total=state.frames_total,
@@ -150,12 +171,17 @@ def stream_decode(
         )
 
     for names, crops in batches():
-        res = dec(crops)  # async dispatch: device starts while host loops
+        with tm.stage("dispatch"):
+            res = dec(crops)  # async: device starts while host loops
         if pending is not None:
-            yield drain(*pending)
+            with tm.stage("drain"):
+                rep = drain(*pending)
+            yield rep
         pending = (names, crops, res)
     if pending is not None:
-        yield drain(*pending)
+        with tm.stage("drain"):
+            rep = drain(*pending)
+        yield rep
 
 
 def replay_files(
@@ -207,7 +233,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     When every filename embeds a capture timestamp (YYYYMMDDHHMMSS...),
     flow/leak windows run on recorded time (repeats continue past the
     recorded span); otherwise they fall back to wall-clock.
+
+    METERELF_PROFILE=1 prints per-stage wall-clock timers (dispatch /
+    drain / rescue) to stderr when the stream ends.
     """
+    import os
     import sys
 
     args = list(sys.argv[1:] if argv is None else argv)
@@ -233,8 +263,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         span = (max(ts0) - min(ts0)) + 60.0
         timestamps = [t + r * span for r in range(repeat) for t in ts0]
     frames = (fr for _r in range(repeat) for fr in base)
+    timers = (StageTimers()
+              if os.environ.get("METERELF_PROFILE") == "1" else None)
     for rep in stream_decode(params, frames, batch_size=batch,
-                             timestamps=timestamps):
+                             timestamps=timestamps, timers=timers):
         flow = "?" if rep.flow_lph is None else f"{rep.flow_lph:.3f}"
         last = "?" if rep.last_value is None else f"{rep.last_value:07.3f}"
         print(
@@ -243,6 +275,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             f"cum={rep.cumulative_liters:.3f}L flow={flow}L/h "
             f"leak={'YES' if rep.leak_suspected else 'no'} "
             f"rate={rep.images_per_sec:.0f}img/s", flush=True)
+    if timers is not None:
+        print(timers.report(), file=sys.stderr)
 
 
 if __name__ == "__main__":  # pragma: no cover - exercised via CLI test

@@ -47,6 +47,89 @@ def test_stream_leak_detection(params1, decoder1):
     assert not reports[-1].leak_suspected  # same frame => zero flow
 
 
+class _ScriptedDecoder:
+    """Fake decoder emitting a prescribed per-frame value sequence —
+    exercises the rolling-stats/leak logic without any device work."""
+
+    def __init__(self, values, converged=True):
+        self.values = list(values)
+        self.converged = converged
+        self.i = 0
+
+    def __call__(self, crops):
+        from types import SimpleNamespace
+
+        b = crops.shape[0]
+        vals = np.zeros(b)
+        for j in range(b):
+            if self.i < len(self.values):
+                vals[j] = self.values[self.i]
+                self.i += 1
+        return SimpleNamespace(
+            converged=np.full(b, self.converged),
+            err=np.zeros(b, np.int32),  # ErrCode.OK
+            value=vals,
+        )
+
+
+def _dummy_frames(n):
+    return [(f"f{i:03d}", np.zeros((2, 2, 3), np.uint8)) for i in range(n)]
+
+
+def _scripted_reports(values, ts_step=60.0, **kw):
+    n = len(values)
+    dec = _ScriptedDecoder(values)
+    ts = iter(np.arange(0.0, ts_step * (n + 1), ts_step))
+    # params is only consulted when no decoder is injected
+    return list(stream_decode(
+        None, _dummy_frames(n), decoder=dec, batch_size=4,
+        timestamps=ts, window_seconds=7200.0, **kw))
+
+
+def test_stream_leak_positive():
+    """Sustained consumption across the whole window trips the flag."""
+    values = [100.0 + 0.1 * i for i in range(12)]  # 6 L/h at 60 s cadence
+    reports = _scripted_reports(values)
+    assert reports[-1].leak_suspected
+
+
+def test_stream_leak_survives_single_flat_step():
+    """Reading resolution is 0.1 L: one flat inter-frame step must not
+    mask a genuine leak (the per-step-minimum heuristic would)."""
+    values = [100.0 + 0.1 * i for i in range(12)]
+    values[6] = values[5]  # one flat step mid-window
+    reports = _scripted_reports(values)
+    assert reports[-1].leak_suspected
+
+
+def test_stream_no_leak_on_intermittent_use():
+    """A burst of consumption followed by a long idle period shows
+    positive average flow but is NOT a leak (a zero-flow bin exists)."""
+    values = [100.0 + 0.5 * min(i, 4) for i in range(12)]
+    reports = _scripted_reports(values)
+    last = reports[-1]
+    assert last.flow_lph is not None and last.flow_lph > 0.5
+    assert not last.leak_suspected
+
+
+def test_stream_rejects_unrescuable_decoder():
+    """A non-converged batch from an injected decoder without a rescue
+    path must raise, never silently emit mislabeled readings."""
+    dec = _ScriptedDecoder([1.0] * 8, converged=False)
+    with pytest.raises(RuntimeError, match="rescue"):
+        list(stream_decode(
+            None, _dummy_frames(8), decoder=dec, batch_size=4))
+
+
+def test_stream_stage_timers():
+    from meterelf_tpu.profiling import StageTimers
+
+    tm = StageTimers()
+    _scripted_reports([100.0 + 0.1 * i for i in range(8)], timers=tm)
+    assert tm.counts["dispatch"] >= 2 and tm.counts["drain"] >= 2
+    assert "dispatch" in tm.report()
+
+
 def test_stream_cli_usage_error():
     from meterelf_tpu import stream as stream_mod
 
