@@ -15,12 +15,19 @@ Fuses everything between JPEG crops and the per-dial window masks:
      error at all), at 2x the bf16 rate.  The -128 cross terms fold
      into the window boxsum:
          corr = corr8 + 128*box + 128*Tsum - 128^2*N
-         scores = corr - tmean*box = corr8 + (128 - tmean)*box'
-     where box' = box - 128*N is the boxsum of L-128 (the constant
-     terms cancel EXACTLY: 128*Tsum - 128^2*N + 128*N*(128 - Tsum/N)
-     = 0).  |box'| < 2^24 so its f32 image is exact; the final scores
-     see exactly ONE f32 rounding (the c1*box' multiply-add) — tighter
-     than cv2 3.4's own f32 DFT pipeline (SURVEY.md §8bis.4).
+         scores = corr - tmean*box
+                = corr8 + (128 - tmean)*box' + 128*(Tsum - N*tmean)
+     where box' = box - 128*N is the boxsum of L-128.  With the exact
+     rational tmean = Tsum/N the trailing constant would vanish, but
+     the kernel (like cv2) uses the f32-rounded tmean, which leaves a
+     small constant residual c0 = 128*(Tsum - N*tmean) (|c0| <~ 25);
+     c0 is computed in f64 outside the kernel and folded into the
+     scores explicitly, so the frontend carries no constant offset vs
+     the corr - tmean*box formulation (borderline threshold decisions
+     agree with the XLA paths).  |box'| < 2^24 so its f32 image is
+     exact; the final scores see two f32 roundings (the c1*box'
+     multiply-add and the +c0) — still tighter than cv2 3.4's own f32
+     DFT pipeline (SURVEY.md §8bis.4).
   4. the x-offset loop is batched 32 columns per matmul through a
      [3840, 224] bank of column-shifted template copies (block d rows
      hold T[TH-1-s, c-d]); the template is ROW-REVERSED so that the
@@ -80,9 +87,9 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref,
     """img_ref: [256, 256] i32 packed BGR (250x250 crop, zero padded;
     the rotate pad to [H_PAD, W_PAD] is built in VMEM — feeding the
     padded geometry from HBM cost 405 KB/image vs 262 KB).
-    bank_ref: [BANK_M, BANK_K] i8 shifted-template bank. c1_ref: [1] f32
-    SMEM = 128 - template_mean. sw_ref: [SW_H, SW_W] i32 superwindow.
-    stat_ref: [8, 128] f32."""
+    bank_ref: [BANK_M, BANK_K] i8 shifted-template bank. c1_ref: [2] f32
+    SMEM = (128 - template_mean, c0 residual — see module docstring).
+    sw_ref: [SW_H, SW_W] i32 superwindow. stat_ref: [8, 128] f32."""
     max_val, mx, my, sw = _frontend_core(img_ref, bank_ref, c1_ref,
                                          corr_ref)
     sw_ref[...] = sw
@@ -148,7 +155,8 @@ def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref):
     bot = pltpu.roll(cs, 1, 1)                      # cs[., y - 1]
     yl64 = lax.broadcasted_iota(i32, (64, 256), 1)
     boxT = (top - jnp.where(yl64 >= 1, bot, i32(0)))[0:OW, :]
-    scoresT = corrT + c1_ref[0] * boxT.astype(f32)  # [OW, 256]
+    scoresT = (corrT + c1_ref[0] * boxT.astype(f32)
+               + c1_ref[1])                         # [OW, 256]
 
     # ---- argmax with first-max row-major tie-break (x on sublanes) ----
     xr = lax.broadcasted_iota(i32, (OW, 256), 0)
@@ -214,8 +222,14 @@ def frontend_pallas(
         img_pad = jnp.zeros((B, 256, 256), jnp.int32)
         img_pad = img_pad.at[:, :H, :W].set(packed_img)
         img_pad = img_pad.reshape(B * 256, 256)
-    c1 = (jnp.float32(128.0)
-          - jnp.asarray(template_mean, jnp.float32)).reshape(1)
+    tmean32 = jnp.asarray(template_mean, jnp.float32)
+    # c0: the residual left by using the f32-rounded tmean instead of
+    # the exact rational Tsum/N (module docstring item 3), in f64
+    tsum64 = jnp.sum(template_u8.astype(jnp.float64))
+    c0 = (jnp.float64(128.0)
+          * (tsum64 - jnp.float64(th * tw) * tmean32.astype(jnp.float64))
+          ).astype(jnp.float32)
+    c1 = jnp.stack([jnp.float32(128.0) - tmean32, c0])
 
     with jax.enable_x64(False):
         bank = _template_bank(template_u8)

@@ -387,12 +387,20 @@ class MeterDecoder:
         # path slice dial windows from the superwindow at compile time
         win_origin_static = tuple(
             (int(x), int(y)) for x, y in np.asarray(pa.win_origin))
+        # centers are only promoted to static (fused 5x5 slice) when the
+        # slice stays in bounds for every dial; a params file putting a
+        # center within 2 px of the window edge falls back to the
+        # dynamic_slice path, whose start indices clamp
+        centers = tuple(
+            (int(x), int(y)) for x, y in np.asarray(pa.centers_int))
+        centers_safe = all(
+            2 <= cx <= DIAL_WIN - 3 and 2 <= cy <= DIAL_WIN - 3
+            for cx, cy in centers)
         self._static_kwargs = dict(
             conv_precision=conv_precision,
             sum_dtype=jnp.float64,
             static_win_origin=win_origin_static,
-            static_centers=tuple(
-                (int(x), int(y)) for x, y in np.asarray(pa.centers_int)),
+            static_centers=centers if centers_safe else None,
             static_crop_hw=(params.meter_rect.height,
                             params.meter_rect.width),
             static_bbox=_stats_bbox(pa.mask_full),

@@ -171,8 +171,10 @@ def test_int8_frontend_kernel_exact():
     single-rounded f32 score, and a correctly rotated superwindow.
 
     Reference is straight int64 numpy: corr8 = sum (L-128)(T-128),
-    box' = window sum of (L-128), scores = f32(corr8) + f32(c1*box')
-    (the kernel's exact op sequence). Replaces the kernel's old bf16
+    box' = window sum of (L-128),
+    scores = f32(f32(corr8) + f32(c1*box')) + c0
+    (the kernel's exact op sequence, incl. the f64-derived c0 residual
+    of the f32-rounded template mean). Replaces the kernel's old bf16
     path which had order-dependent f32 accumulation."""
     from meterelf_tpu import synthetic
     from meterelf_tpu.ops import pallas_frontend as fe
@@ -214,6 +216,8 @@ def test_int8_frontend_kernel_exact():
         jnp.asarray(crops[..., 2]))).astype(np.int64)       # [2,250,250]
     t64 = tmpl.astype(np.int64) - 128
     c1 = np.float32(np.float32(128.0) - tmean)
+    c0 = np.float32(128.0 * (np.float64(tsum)
+                             - tmpl.size * np.float64(tmean)))
     OH, OW, TH, TW = fe.OH, fe.OW, fe.TH, fe.TW
     for b in range(len(crops)):
         lp = L[b] - 128
@@ -221,7 +225,8 @@ def test_int8_frontend_kernel_exact():
         corr = np.einsum("yxij,ij->yx", view[:OH, :OW], t64)
         box = np.einsum("yxij->yx", view[:OH, :OW])
         scores = (corr.astype(np.float32)
-                  + (c1 * box.astype(np.float32)).astype(np.float32))
+                  + (c1 * box.astype(np.float32)).astype(np.float32)
+                  + c0)
         best = np.unravel_index(np.argmax(scores), scores.shape)
         # first-max row-major tie-break
         ties = np.argwhere(scores == scores[best])
@@ -336,3 +341,21 @@ def test_quad_kernels_match_xla_on_tpu():
     assert r.returncode == 0, r.stderr[-2000:]
     out = r.stdout
     assert out.count("equal: True") >= 8 and "False" not in out, out
+
+
+def test_static_center_promotion_guard(params1, monkeypatch):
+    """Centers are promoted to a fused static 5x5 slice only when the
+    slice stays in bounds for every dial; an edge-hugging center falls
+    back to the (clamping) dynamic_slice path instead of silently
+    slicing an empty/wrong window."""
+    from meterelf_tpu.pipeline.decode import MeterDecoder
+
+    assert MeterDecoder(params1)._static_kwargs["static_centers"] is not None
+
+    pa = params1.arrays()
+    bad = np.asarray(pa.centers_int).copy()
+    bad[0] = (1, 5)  # within 2 px of the window's left edge
+    pa_bad = pa._replace(centers_int=bad)
+    monkeypatch.setattr(type(params1), "arrays", lambda self: pa_bad)
+    dec = MeterDecoder(params1)
+    assert dec._static_kwargs["static_centers"] is None
