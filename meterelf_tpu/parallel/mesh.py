@@ -1,15 +1,26 @@
-"""Multi-chip scaling: SPMD data parallelism over a 1-D device mesh.
+"""Multi-chip / multi-host scaling: SPMD data parallelism over a device
+mesh.
 
 The reference has no parallelism at all (SURVEY.md §2c) — one process,
 one image at a time. The TPU-native scaling model for this workload is
 pure data parallelism: per-image decode has zero cross-image
 communication, so the batch dim is sharded over the mesh with
 `jax.sharding` + jit, and collectives are only needed for aggregate
-metrics (psum over ICI). TP/PP/SP/EP are deliberately NOT implemented:
-there is no model to shard — documenting that is part of the design.
+metrics (psum over ICI within a slice, DCN across hosts). TP/PP/SP/EP
+are deliberately NOT implemented: there is no model to shard —
+documenting that is part of the design.
+
+Multi-host deployment shape: each host runs the same program,
+`initialize_distributed()` joins the jax.distributed cluster (gated by
+METERELF_DISTRIBUTED so single-host use never touches it), `make_mesh()`
+spans the GLOBAL device set, each host JPEG-decodes only its own slice
+of the batch and contributes it via `shard_host_batch()` — input IO
+scales linearly with hosts and no crop ever crosses DCN; only the
+psum-class metric reductions do.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -17,16 +28,70 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Join a multi-host jax.distributed cluster; returns whether the
+    cluster was initialized.
+
+    No-op (returns False) unless METERELF_DISTRIBUTED=1 or an explicit
+    coordinator_address is given, so single-host runs never pay for or
+    depend on distributed bring-up. On TPU pods the three parameters
+    are usually auto-detected from the environment and may all be None;
+    otherwise they come from METERELF_COORDINATOR / METERELF_NUM_PROCS /
+    METERELF_PROC_ID. After initialization jax.devices() is the global
+    device set, so `make_mesh()` transparently becomes process-aware.
+    """
+    if os.environ.get("METERELF_DISTRIBUTED") != "1" \
+            and coordinator_address is None:
+        return False
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("METERELF_COORDINATOR")
+    if num_processes is None and os.environ.get("METERELF_NUM_PROCS"):
+        num_processes = int(os.environ["METERELF_NUM_PROCS"])
+    if process_id is None and os.environ.get("METERELF_PROC_ID"):
+        process_id = int(os.environ["METERELF_PROC_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
-    """1-D mesh over all (or given) devices."""
+    """1-D mesh over all (or given) devices.
+
+    After `initialize_distributed()`, jax.devices() is the global,
+    cross-process device set — the mesh spans every chip in the cluster
+    and jit partitions automatically (SPMD: each process executes its
+    addressable shard)."""
     devs = np.asarray(devices if devices is not None else jax.devices())
     return Mesh(devs, (axis,))
+
+
+def shard_host_batch(local_crops: np.ndarray, mesh: Mesh,
+                     axis: str = "data"):
+    """Per-host sharded input feed: build a globally-sharded device
+    array from this process's local slice of the batch.
+
+    Each host JPEG-decodes only global_batch/num_processes images; the
+    resulting jax.Array spans the mesh without any host ever
+    materializing (or sending over DCN) another host's crops. On a
+    single process this is equivalent to device_put with batch
+    sharding."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(sharding, local_crops)
 
 
 def data_parallel_decoder(decoder, mesh: Mesh, axis: str = "data"):
     """Wrap a MeterDecoder so batches are sharded over the mesh's data
     axis. Batch size must be divisible by the mesh size. Results come
-    back with the same batch-dim sharding (host gathers lazily)."""
+    back with the same batch-dim sharding (host gathers lazily).
+    Accepts host numpy batches or pre-sharded jax.Arrays from
+    `shard_host_batch`."""
     from ..pipeline.decode import _decode_batch
     import functools
 
@@ -60,12 +125,12 @@ def data_parallel_decoder(decoder, mesh: Mesh, axis: str = "data"):
 
 def aggregate_metrics(values, err, mesh: Mesh, axis: str = "data"):
     """Cross-chip aggregate statistics via psum-class collectives:
-    (n_ok, n_err, mean value over ok) — the multi-host metric-reduction
-    path for streaming deployments."""
+    (n_ok, n_err, mean value over ok) — the metric-reduction path for
+    streaming deployments. The psums ride ICI within a slice and DCN
+    across hosts; inputs are batch-sharded, outputs replicated."""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
-    @functools_partial_shard(mesh, axis)
     def agg(v, e):
         ok = (e == 0)
         n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), axis)
@@ -73,19 +138,9 @@ def aggregate_metrics(values, err, mesh: Mesh, axis: str = "data"):
         s = jax.lax.psum(jnp.sum(jnp.where(ok, v, 0.0)), axis)
         return n_ok, n_err, s / jnp.maximum(n_ok, 1)
 
-    return agg(values, err)
-
-
-def functools_partial_shard(mesh: Mesh, axis: str):
-    """shard_map decorator with batch-dim sharding on inputs and
-    replicated outputs."""
-    from jax.experimental.shard_map import shard_map
-
-    def deco(f):
-        return shard_map(
-            f, mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=(P(), P(), P()),
-        )
-
-    return deco
+    sharded = shard_map(
+        agg, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+    )
+    return sharded(values, err)
