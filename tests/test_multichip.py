@@ -122,3 +122,20 @@ def test_initialize_distributed_is_gated(monkeypatch):
         "num_processes": 4,
         "process_id": 2,
     }]
+
+
+def test_sharded_pallas_composition_on_tpu():
+    """The production Pallas graph (int8 frontend + quad kernels) under
+    a sharded jit on a real TPU mesh matches the unsharded graph
+    bit-for-bit (runs only when pytest itself is pointed at the TPU;
+    the driver-adjacent check is experiments/sharded_pallas_check.py)."""
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    if dev.platform != "tpu":
+        pytest.skip("sharding x Pallas composition needs the real TPU")
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "experiments/sharded_pallas_check.py"],
+        capture_output=True, text=True, timeout=560, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SHARDED_PALLAS_OK" in r.stdout, r.stdout
