@@ -37,3 +37,21 @@ def test_loading_error_is_ioerror():
     e = ImageLoadingError("f.jpg")
     assert isinstance(e, IOError)
     assert e.get_message() == "Unable to load image"
+
+
+def test_error_class_registry():
+    """Graph error codes map to their host exception classes."""
+    from meterelf_tpu.errors import ErrCode, error_class_for
+
+    assert error_class_for(ErrCode.LOAD) is ImageLoadingError
+    assert error_class_for(int(ErrCode.DIALS_NOT_FOUND)) is DialsNotFoundError
+    assert error_class_for(ErrCode.NEEDLE_CONTOURS) is (
+        NeedleContoursNotFoundError)
+    assert error_class_for(ErrCode.DIAL_ANGLE) is DialAngleDeterminingError
+
+
+def test_empty_extra_info_renders_no_suffix():
+    e = DialsNotFoundError("x.jpg", extra_info={})
+    assert e.get_message() == "Dials not found"
+    e2 = DialsNotFoundError("x.jpg")
+    assert e2.get_message(with_extra_info=False) == "Dials not found"
