@@ -73,7 +73,9 @@ def main() -> None:
                 got = "{:07.3f}".format(float(res.value[i]))
                 exp = golden[base]
                 n_bad += not exp.startswith(got)
-        assert n_bad == 0, f"{n_bad} readings diverge from golden — not benching a wrong pipeline"
+        assert n_bad == 0, (
+            f"{n_bad} readings diverge from golden — "
+            "not benching a wrong pipeline")
 
     # build the replay set: tile corpus to REPLAY_FRAMES and stage on
     # device as [n_batches, BATCH, ...]; the whole replay runs as ONE

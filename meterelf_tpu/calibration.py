@@ -21,7 +21,6 @@ numpy on the host.
 from __future__ import annotations
 
 import glob as glob_mod
-import math
 import random
 from typing import Iterable, List, Tuple, Union
 

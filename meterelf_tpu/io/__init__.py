@@ -1,0 +1,1 @@
+"""Host IO: native JPEG decode and crop staging."""

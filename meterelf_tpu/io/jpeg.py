@@ -10,7 +10,7 @@ the device, so the jitted graph always sees static shapes.
 from __future__ import annotations
 
 import ctypes
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

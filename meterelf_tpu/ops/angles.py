@@ -26,7 +26,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-from jax import lax
 
 
 class DialReading(NamedTuple):

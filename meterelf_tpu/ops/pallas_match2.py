@@ -19,11 +19,8 @@ products stays < 2^24), and box <= 188*119*255 < 2^23 is exact in f32.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -1,0 +1,1 @@
+"""Multi-chip / multi-host scaling (device mesh, collectives)."""

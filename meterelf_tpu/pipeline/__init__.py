@@ -1,0 +1,1 @@
+"""The batched decode graph and its host driver."""

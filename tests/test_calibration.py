@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 from meterelf_tpu import calibration
-from meterelf_tpu.types import DialCenter
 
 pytestmark = pytest.mark.needs_samples
 

@@ -1,0 +1,37 @@
+"""Style/typing gates (reference parity: flake8/isort/mypy under tox,
+/root/reference/tox.ini:2; setup.cfg:60-109).
+
+The style gate runs always via the in-repo AST linter (tools/lint.py —
+the deployment image has no third-party linter). The mypy gate runs
+wherever mypy is installed (config lives in pyproject.toml) and skips
+with a reason otherwise, so dev environments enforce it.
+"""
+import importlib.util
+import subprocess
+import sys
+
+import pytest
+
+TARGETS = ["meterelf_tpu", "tests", "tools", "bench.py",
+           "__graft_entry__.py"]
+
+
+def test_lint_clean():
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import lint
+    finally:
+        sys.path.pop(0)
+    findings = lint.lint([f"/root/repo/{t}" for t in TARGETS])
+    assert not findings, "\n".join(
+        f"{p}:{ln}: {msg}" for (p, ln, msg) in findings)
+
+
+def test_mypy_if_available():
+    if importlib.util.find_spec("mypy") is None:
+        pytest.skip("mypy not installed in this image; gate active in "
+                    "dev environments (config: pyproject.toml)")
+    r = subprocess.run(
+        [sys.executable, "-m", "mypy", "meterelf_tpu"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stdout[-4000:]

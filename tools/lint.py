@@ -1,0 +1,153 @@
+"""In-repo style gate (reference parity: flake8/isort under tox,
+/root/reference/tox.ini:2,14-18; setup.cfg:76-109).
+
+The deployment image carries no third-party linter, so the style gate
+is implemented here on the stdlib ast module and enforced by
+tests/test_codequality.py. Checks:
+
+- F401 unused imports (module scope; ``__init__`` re-exports are
+  exempt when listed in ``__all__`` or imported as ``x as x``)
+- E501 line length (< 88 columns)
+- E722 bare ``except:``
+- B006 mutable default arguments
+- D100 missing module docstring (package code only)
+- W291/W293 trailing whitespace, W191 tabs
+
+Run directly: ``python tools/lint.py [paths...]`` — prints findings,
+exits nonzero if any.
+"""
+from __future__ import annotations
+
+import ast
+import sys
+from pathlib import Path
+from typing import Iterator, List, Tuple
+
+MAX_LINE = 88
+
+Finding = Tuple[str, int, str]  # (path, line, message)
+
+
+def _imported_names(node: ast.AST) -> Iterator[Tuple[str, str, bool]]:
+    """Yield (bound_name, lookup_key, explicit_reexport) for an import."""
+    if isinstance(node, ast.Import):
+        for a in node.names:
+            bound = a.asname or a.name.split(".")[0]
+            yield bound, bound, a.asname == a.name
+    elif isinstance(node, ast.ImportFrom):
+        for a in node.names:
+            if a.name == "*":
+                continue
+            bound = a.asname or a.name
+            yield bound, bound, a.asname == a.name
+
+
+def _used_names(tree: ast.Module) -> set:
+    used = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            used.add(node.id)
+        elif isinstance(node, ast.Attribute):
+            # the root of a dotted lookup is what an import binds
+            root = node
+            while isinstance(root, ast.Attribute):
+                root = root.value
+            if isinstance(root, ast.Name):
+                used.add(root.id)
+    return used
+
+
+def _dunder_all(tree: ast.Module) -> set:
+    for node in tree.body:
+        if (isinstance(node, ast.Assign)
+                and any(isinstance(t, ast.Name) and t.id == "__all__"
+                        for t in node.targets)
+                and isinstance(node.value, (ast.List, ast.Tuple))):
+            return {
+                c.value for c in node.value.elts
+                if isinstance(c, ast.Constant) and isinstance(c.value, str)
+            }
+    return set()
+
+
+def _string_annotations(tree: ast.Module) -> set:
+    """Names referenced from string annotations / docstring-only use is
+    NOT tracked; keep quoted forward references alive."""
+    out = set()
+    for node in ast.walk(tree):
+        ann = getattr(node, "annotation", None)
+        if isinstance(ann, ast.Constant) and isinstance(ann.value, str):
+            out.update(
+                t for t in ann.value.replace("[", " ").replace("]", " ")
+                .replace(",", " ").replace(".", " ").split())
+    return out
+
+
+def check_file(path: Path, *, is_package_code: bool) -> List[Finding]:
+    src = path.read_text()
+    findings: List[Finding] = []
+    rel = str(path)
+
+    for i, line in enumerate(src.splitlines(), 1):
+        if len(line) > MAX_LINE:
+            findings.append((rel, i, f"E501 line too long ({len(line)})"))
+        if line != line.rstrip():
+            findings.append((rel, i, "W291 trailing whitespace"))
+        if "\t" in line:
+            findings.append((rel, i, "W191 tab character"))
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError as e:
+        return findings + [(rel, e.lineno or 0, f"E999 {e.msg}")]
+
+    if is_package_code and not (
+            tree.body and isinstance(tree.body[0], ast.Expr)
+            and isinstance(tree.body[0].value, ast.Constant)
+            and isinstance(tree.body[0].value.value, str)):
+        findings.append((rel, 1, "D100 missing module docstring"))
+
+    used = _used_names(tree) | _string_annotations(tree)
+    exported = _dunder_all(tree)
+    is_init = path.name == "__init__.py"
+    for node in tree.body:  # module scope only: locals are too dynamic
+        for bound, key, reexport in _imported_names(node):
+            if reexport or bound in exported or bound == "annotations":
+                continue
+            if is_init and not exported:
+                continue  # bare re-export module
+            if bound not in used:
+                findings.append(
+                    (rel, node.lineno, f"F401 unused import '{key}'"))
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ExceptHandler) and node.type is None:
+            findings.append((rel, node.lineno, "E722 bare except"))
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for d in node.args.defaults + node.args.kw_defaults:
+                if isinstance(d, (ast.List, ast.Dict, ast.Set)):
+                    findings.append(
+                        (rel, d.lineno,
+                         f"B006 mutable default in '{node.name}'"))
+    return findings
+
+
+def lint(paths: List[str]) -> List[Finding]:
+    findings: List[Finding] = []
+    for p in paths:
+        root = Path(p)
+        files = sorted(root.rglob("*.py")) if root.is_dir() else [root]
+        for f in files:
+            pkg = "meterelf_tpu" in f.parts
+            findings.extend(check_file(f, is_package_code=pkg))
+    return findings
+
+
+if __name__ == "__main__":
+    targets = sys.argv[1:] or ["meterelf_tpu", "tests", "tools",
+                               "bench.py", "__graft_entry__.py"]
+    found = lint(targets)
+    for rel, line, msg in found:
+        print(f"{rel}:{line}: {msg}")
+    print(f"{len(found)} finding(s)")
+    sys.exit(1 if found else 0)
