@@ -1,13 +1,21 @@
 """Benchmark: batched dial-decode throughput on one chip.
 
-Measures the jitted decode graph on the 10k-frame streaming-replay
-workload (BASELINE.json config 5): the 304-image sample corpus is decoded
-once on the host, staged to the device, and replayed in large batches —
-the production shape for a continuous webcam pipeline, where input
-staging is double-buffered and the chip is the bottleneck.
+Two regimes, both reported in the ONE JSON line:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured throughput / the 5,000 img/s/chip north-star
+- device-resident (the headline "value"): the jitted decode graph on
+  the 10k-frame streaming-replay workload (BASELINE.json config 5),
+  corpus staged once and replayed in large batches — the chip's
+  capacity when the host feed keeps up.
+- end-to-end ("end_to_end_img_s"): JPEG bytes in host RAM -> C region
+  decode to raw u8 crops (pthreads) -> async H2D -> device-side
+  pack/pad -> decode graph, with no per-chunk sync so transfers overlap
+  the next chunk's decode. On a real TPU host this is bound by JPEG
+  decode (~1.3k img/s/core); "host_cores" is reported so the number can
+  be read honestly — feeding the chip's full device-resident rate needs
+  roughly value / 1300 cores. (Over the dev tunnel the link itself is
+  the bound and the number under-reports real-host throughput.)
+
+vs_baseline is the headline value / the 5,000 img/s/chip north-star
 target (the reference publishes no numbers of its own — BASELINE.md).
 
 Correctness is asserted inline: the replayed corpus' readings must match
@@ -109,14 +117,74 @@ def main() -> None:
     checksum = float(replay(crops_dev, ok_dev))
     dt = time.time() - t0
     assert np.isfinite(checksum)
-
     value = frames / dt
-    print(json.dumps({
+
+    e2e = end_to_end_rate(dec, params, files) if files else None
+
+    record = {
         "metric": "images_per_sec_per_chip_batched_decode",
         "value": round(value, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(value / BASELINE_TARGET, 3),
-    }))
+    }
+    if e2e is not None:
+        record["end_to_end_img_s"] = round(e2e, 1)
+        record["host_cores"] = os.cpu_count()
+    print(json.dumps(record))
+
+
+def end_to_end_rate(dec, params, files, frames: int = 2048) -> float:
+    """JPEG-bytes-to-readings throughput, every stage on the clock.
+
+    Per chunk: C region decode straight to raw u8 crops (pthreads,
+    GIL-free, 3 bytes/px — the minimal H2D representation), async
+    device_put, one jitted dispatch that packs/pads to the staging
+    layout on the accelerator and runs the decode graph. No per-chunk
+    synchronization — the runtime's background transfer thread overlaps
+    chunk k's H2D with chunk k+1's host decode, and the clock stops on
+    a single end-of-stream checksum readback. An untimed full pass
+    first absorbs compilation and device-buffer allocation.
+
+    Over the dev tunnel (~tens of MB/s, high variance) this is
+    link-bound; on a real TPU host (PCIe) it is bound by JPEG decode at
+    ~1.3k img/s per host core."""
+    import jax
+    import jax.numpy as jnp
+    from meterelf_tpu.io import jpeg as jio
+    from meterelf_tpu.pipeline.decode import pack_crops_device
+
+    datas_corpus = []
+    for f in files:
+        with open(f, "rb") as fp:
+            datas_corpus.append(fp.read())
+    reps = -(-frames // len(datas_corpus))
+    datas = (datas_corpus * reps)[: (frames // BATCH) * BATCH]
+    chunks = [datas[i:i + BATCH] for i in range(0, len(datas), BATCH)]
+    pad = jio.frontend_pad_hw()
+    pa_dev = jax.device_put(dec.param_arrays)
+    jax.block_until_ready(pa_dev)
+
+    @jax.jit
+    def step(pa, crops_u8, ok):
+        packed = pack_crops_device(crops_u8, pad_hw=pad)
+        r = dec._fn(pa, packed, ok)
+        return r.value.sum() + r.err.sum().astype(r.value.dtype)
+
+    def run_pass():
+        sums = []
+        for chunk in chunks:
+            crops, ok = jio.load_crop_bytes_u8(
+                chunk, params.meter_rect, num_threads=2)
+            sums.append(step(pa_dev, jax.device_put(crops),
+                             jax.device_put(ok)))
+        return sum(float(s) for s in sums)  # blocks on the device
+
+    run_pass()  # compile + allocator warmup, untimed
+    t0 = time.time()
+    checksum = run_pass()
+    dt = time.time() - t0
+    assert np.isfinite(checksum)
+    return len(chunks) * BATCH / dt
 
 
 if __name__ == "__main__":

@@ -158,10 +158,22 @@ def get_meter_values(
     batch: list = []
 
     def flush(batch: Sequence[str]) -> Iterator[MeterImageData]:
-        crops, ok = jpeg_io.load_crops(batch, params.meter_rect, batch_size)
+        rect = params.meter_rect
         pad = (jpeg_io.frontend_pad_hw()
-               if crops.shape[1:3] == (250, 250) else None)
-        res = dec.decode_numpy(jpeg_io.pack_crops(crops, pad_hw=pad), ok)
+               if (rect.height, rect.width) == (250, 250)
+               else (rect.height, rect.width))
+        datas = []
+        for fn in batch:
+            try:
+                with open(fn, "rb") as fp:
+                    datas.append(fp.read())
+            except OSError:
+                datas.append(b"")
+        datas += [b""] * (batch_size - len(batch))
+        # one-pass C stage: decode + crop + pack into the staging layout
+        packed, ok = jpeg_io.load_packed_crops_from_bytes(
+            datas, rect, pad)
+        res = dec.decode_numpy(packed, ok)
         for i, fn in enumerate(batch):
             data = result_to_data(fn, res, i, params)
             if data.error is not None:

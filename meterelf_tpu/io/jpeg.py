@@ -59,6 +59,25 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.mej_decode_region_batch_packed.restype = None
+        lib.mej_decode_region_batch_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ulong),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mej_decode_region_batch_u8.restype = None
+        lib.mej_decode_region_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ulong),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
     return _lib
 
@@ -196,6 +215,117 @@ def load_crops_threaded(
             crops[i] = c
             ok_out[i] = True
     return crops, ok_out
+
+
+def load_packed_crops_from_bytes(
+    datas: Sequence[bytes],
+    meter_rect: Rect,
+    pad_hw: Tuple[int, int],
+    num_threads: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode in-memory JPEGs straight to the graph's staging layout:
+    [B, PH, PW] i32 packed BGR (b | g<<8 | r<<16), region at [0:rh,
+    0:rw], zero padding elsewhere — decode, crop, AND pack happen in one
+    C pass (pthreads, GIL-free), the whole end-to-end host stage.
+
+    Returns (packed, load_ok). Failures (corrupt/undersized frames) take
+    the per-file full-decode fallback; files that still fail get
+    load_ok=False."""
+    lib = _get_lib()
+    n = len(datas)
+    ph, pw = pad_hw
+    ch, cw = meter_rect.height, meter_rect.width
+    (x0, y0) = meter_rect.top_left
+    out = np.zeros((n, ph, pw), np.int32)
+    ok = np.zeros(n, np.int32)
+    arr_ptrs = (ctypes.c_char_p * n)(*datas)
+    arr_sizes = (ctypes.c_ulong * n)(*[len(d) for d in datas])
+    lib.mej_decode_region_batch_packed(
+        arr_ptrs, arr_sizes, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), pw, ph,
+        x0, y0, cw, ch,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        0, 1, num_threads)
+    ok_out = ok == 0
+    for i in np.nonzero(~ok_out)[0]:
+        if not datas[i]:
+            continue
+        img = _decode_bytes_full(bytes(datas[i]))
+        if img is None:
+            continue
+        c = crop_rect(img, meter_rect)
+        if c.shape == (ch, cw, 3):
+            out[i, :ch, :cw] = pack_crops(c[None])[0]
+            ok_out[i] = True
+    return out, ok_out
+
+
+def load_crop_bytes_u8(
+    datas: Sequence[bytes],
+    meter_rect: Rect,
+    num_threads: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode in-memory JPEGs to raw u8 BGR crops: [N, rh, rw, 3].
+
+    The minimal-byte representation of the meter region — the right
+    feed when crops are shipped over a bandwidth-limited host->device
+    link (PCIe or the dev tunnel): 3 bytes/px vs the staging layout's
+    4, with packing/padding done on the accelerator
+    (pipeline.decode.pack_crops_device). Region decode runs straight
+    into each output slot in C (pthreads, GIL-free).
+
+    Returns (crops, load_ok). Failures (corrupt/undersized frames) take
+    the per-file full-decode fallback; files that still fail get
+    load_ok=False and an all-zero slot."""
+    lib = _get_lib()
+    n = len(datas)
+    ch, cw = meter_rect.height, meter_rect.width
+    (x0, y0) = meter_rect.top_left
+    out = np.zeros((n, ch, cw, 3), np.uint8)
+    ok = np.zeros(n, np.int32)
+    arr_ptrs = (ctypes.c_char_p * n)(*datas)
+    arr_sizes = (ctypes.c_ulong * n)(*[len(d) for d in datas])
+    lib.mej_decode_region_batch_u8(
+        arr_ptrs, arr_sizes, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        x0, y0, cw, ch,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        0, 1, num_threads)
+    ok_out = ok == 0
+    for i in np.nonzero(~ok_out)[0]:
+        out[i] = 0  # a failed region decode may have written partial rows
+        if not datas[i]:
+            continue
+        img = _decode_bytes_full(bytes(datas[i]))
+        if img is None:
+            continue
+        c = crop_rect(img, meter_rect)
+        if c.shape == (ch, cw, 3):
+            out[i] = c
+            ok_out[i] = True
+    return out, ok_out
+
+
+def _decode_bytes_full(data: bytes) -> Optional[np.ndarray]:
+    """Full-frame decode of in-memory JPEG bytes (fallback path)."""
+    lib = _get_lib()
+    out = np.zeros(MAX_H * MAX_W * 3, np.uint8)
+    ok = np.zeros(1, np.int32)
+    widths = np.zeros(1, np.int32)
+    heights = np.zeros(1, np.int32)
+    arr_ptrs = (ctypes.c_char_p * 1)(data)
+    arr_sizes = (ctypes.c_ulong * 1)(len(data))
+    lib.mej_decode_batch(
+        arr_ptrs, arr_sizes, 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), MAX_W, MAX_H,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        heights.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        0, 1, 1, 1)
+    if ok[0] != 0:
+        return None
+    w, h = int(widths[0]), int(heights[0])
+    return out[:h * w * 3].reshape(h, w, 3)
 
 
 def pack_crops(crops_u8: np.ndarray, pad_hw=None) -> np.ndarray:

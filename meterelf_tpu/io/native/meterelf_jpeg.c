@@ -452,3 +452,186 @@ int mej_decode_file_opts(const char *path, unsigned char *out,
     free(buf);
     return rc;
 }
+
+/* ----------- packed-i32 region decode (TPU staging feeder) ----------- */
+
+#include <stdint.h>
+
+/* Decode the region and pack BGR into one int32 word per pixel
+ * (b | g<<8 | r<<16) directly into a [ph, pw] slot (region lands at
+ * rows 0..rh-1, cols 0..rw-1; the caller pre-zeroes the padding) — the
+ * decode graph's canonical staging layout, produced here so the host
+ * never runs a separate numpy packing pass. */
+static int mej_decode_region_packed(const unsigned char *data,
+                                    unsigned long size,
+                                    int32_t *out, int pw, int ph,
+                                    int rx, int ry, int rw, int rh,
+                                    const mej_opts *opts)
+{
+    if (rw > pw || rh > ph)
+        return 5;
+    unsigned char *tmp = (unsigned char *)malloc((size_t)rw * rh * 3);
+    if (!tmp)
+        return 3;
+    int w, h;
+    int rc = mej_decode_region(data, size, tmp, rx, ry, rw, rh,
+                               &w, &h, opts);
+    if (rc == 0) {
+        for (int y = 0; y < rh; y++) {
+            const unsigned char *src = tmp + (size_t)y * rw * 3;
+            int32_t *dst = out + (size_t)y * pw;
+            for (int x = 0; x < rw; x++)
+                dst[x] = (int32_t)src[3 * x]
+                       | ((int32_t)src[3 * x + 1] << 8)
+                       | ((int32_t)src[3 * x + 2] << 16);
+        }
+    }
+    free(tmp);
+    return rc;
+}
+
+typedef struct {
+    const unsigned char *const *datas;
+    const unsigned long *sizes;
+    int32_t *out;             /* N * ph * pw, pre-zeroed by caller */
+    int *ok;                  /* N: 0 = success */
+    int pw, ph;
+    int rx, ry, rw, rh;
+    int n;
+    const mej_opts *opts;
+    int next;
+    pthread_mutex_t lock;
+} mej_packed_job;
+
+static void *mej_packed_worker(void *arg)
+{
+    mej_packed_job *job = (mej_packed_job *)arg;
+    size_t img_stride = (size_t)job->pw * job->ph;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        int i = job->next++;
+        pthread_mutex_unlock(&job->lock);
+        if (i >= job->n)
+            break;
+        job->ok[i] = mej_decode_region_packed(
+            job->datas[i], job->sizes[i],
+            job->out + (size_t)i * img_stride, job->pw, job->ph,
+            job->rx, job->ry, job->rw, job->rh, job->opts);
+    }
+    return NULL;
+}
+
+void mej_decode_region_batch_packed(const unsigned char *const *datas,
+                                    const unsigned long *sizes, int n,
+                                    int32_t *out, int pw, int ph,
+                                    int rx, int ry, int rw, int rh,
+                                    int *ok,
+                                    int dct_method, int fancy_upsampling,
+                                    int num_threads)
+{
+    mej_opts opts = {dct_method, fancy_upsampling, 1 /* BGR */};
+    mej_packed_job job;
+    job.datas = datas;
+    job.sizes = sizes;
+    job.out = out;
+    job.ok = ok;
+    job.pw = pw;
+    job.ph = ph;
+    job.rx = rx;
+    job.ry = ry;
+    job.rw = rw;
+    job.rh = rh;
+    job.n = n;
+    job.opts = &opts;
+    job.next = 0;
+    pthread_mutex_init(&job.lock, NULL);
+
+    if (num_threads < 1)
+        num_threads = 1;
+    if (num_threads > n)
+        num_threads = n;
+    pthread_t threads[64];
+    if (num_threads > 64)
+        num_threads = 64;
+
+    for (int t = 0; t < num_threads; t++)
+        pthread_create(&threads[t], NULL, mej_packed_worker, &job);
+    for (int t = 0; t < num_threads; t++)
+        pthread_join(threads[t], NULL);
+    pthread_mutex_destroy(&job.lock);
+}
+
+/* ------------- raw-u8 region decode (minimal-byte H2D feed) ------------ */
+
+/* Decode each region straight into its [rh, rw, 3] u8 BGR slot — no
+ * temporary buffer and no packing: the minimal byte representation for
+ * shipping crops over a narrow host->device link (device-side code
+ * packs/pads into the staging layout on the accelerator). */
+typedef struct {
+    const unsigned char *const *datas;
+    const unsigned long *sizes;
+    unsigned char *out;       /* N * rh * rw * 3 */
+    int *ok;                  /* N: 0 = success */
+    int rx, ry, rw, rh;
+    int n;
+    const mej_opts *opts;
+    int next;
+    pthread_mutex_t lock;
+} mej_u8_job;
+
+static void *mej_u8_worker(void *arg)
+{
+    mej_u8_job *job = (mej_u8_job *)arg;
+    size_t img_stride = (size_t)job->rw * job->rh * 3;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        int i = job->next++;
+        pthread_mutex_unlock(&job->lock);
+        if (i >= job->n)
+            break;
+        int w, h;
+        job->ok[i] = mej_decode_region(
+            job->datas[i], job->sizes[i],
+            job->out + (size_t)i * img_stride,
+            job->rx, job->ry, job->rw, job->rh, &w, &h, job->opts);
+    }
+    return NULL;
+}
+
+void mej_decode_region_batch_u8(const unsigned char *const *datas,
+                                const unsigned long *sizes, int n,
+                                unsigned char *out,
+                                int rx, int ry, int rw, int rh,
+                                int *ok,
+                                int dct_method, int fancy_upsampling,
+                                int num_threads)
+{
+    mej_opts opts = {dct_method, fancy_upsampling, 1 /* BGR */};
+    mej_u8_job job;
+    job.datas = datas;
+    job.sizes = sizes;
+    job.out = out;
+    job.ok = ok;
+    job.rx = rx;
+    job.ry = ry;
+    job.rw = rw;
+    job.rh = rh;
+    job.n = n;
+    job.opts = &opts;
+    job.next = 0;
+    pthread_mutex_init(&job.lock, NULL);
+
+    if (num_threads < 1)
+        num_threads = 1;
+    if (num_threads > n)
+        num_threads = n;
+    pthread_t threads[64];
+    if (num_threads > 64)
+        num_threads = 64;
+
+    for (int t = 0; t < num_threads; t++)
+        pthread_create(&threads[t], NULL, mej_u8_worker, &job);
+    for (int t = 0; t < num_threads; t++)
+        pthread_join(threads[t], NULL);
+    pthread_mutex_destroy(&job.lock);
+}

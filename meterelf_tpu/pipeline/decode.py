@@ -322,6 +322,22 @@ def _decode_batch(
     )
 
 
+def pack_crops_device(crops_u8, pad_hw=None):
+    """Device-side analog of io.jpeg.pack_crops: [B, H, W, 3] u8 BGR ->
+    [B, H, W] i32 packed (b | g<<8 | r<<16), zero-padded to pad_hw.
+
+    Lets hosts ship raw 3-byte/px crops (io.jpeg.load_crop_bytes_u8)
+    over the host->device link and do the 4-byte staging expansion on
+    the accelerator — 25% less H2D traffic on the end-to-end path."""
+    c = crops_u8.astype(jnp.int32)
+    packed = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+    if pad_hw is not None:
+        ph, pw = pad_hw
+        h, w = packed.shape[1], packed.shape[2]
+        packed = jnp.pad(packed, ((0, 0), (0, ph - h), (0, pw - w)))
+    return packed
+
+
 def _stats_bbox(mask_full: np.ndarray, sb: int = 48):
     """Static per-dial sub-box containing every disk pixel, for the
     component-stats sort (analyze_batch static_bbox). None when any

@@ -79,3 +79,51 @@ def test_missing_file_flagged():
     crops, ok = jio.load_crops_threaded(
         ["/does/not/exist.jpg"], params.meter_rect)
     assert not ok[0]
+
+
+@pytest.mark.needs_samples
+def test_u8_bytes_loader_matches_load_crops(params1):
+    """The raw-u8 bytes loader (minimal H2D feed) must equal the
+    path-based load_crops over the whole corpus, and the device-side
+    pack must equal the host-side pack_crops composition."""
+    from glob import glob
+
+    import jax
+
+    from meterelf_tpu.pipeline.decode import pack_crops_device
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))
+    datas = [open(f, "rb").read() for f in files]
+    pad = jio.frontend_pad_hw()
+
+    crops_u8, ok1 = jio.load_crop_bytes_u8(datas, params1.meter_rect)
+    crops_ref, ok2 = jio.load_crops(files, params1.meter_rect)
+    assert np.array_equal(ok1, ok2)
+    assert np.array_equal(crops_u8[ok1], crops_ref[ok2])
+
+    packed_dev = np.asarray(
+        jax.jit(pack_crops_device, static_argnames="pad_hw")(
+            crops_u8, pad_hw=pad))
+    packed_host = jio.pack_crops(np.where(ok1[:, None, None, None],
+                                          crops_u8, 0), pad_hw=pad)
+    assert np.array_equal(packed_dev[ok1], packed_host[ok1])
+
+
+@pytest.mark.needs_samples
+def test_packed_loader_matches_crop_plus_pack(params1):
+    """The one-pass C decode+crop+pack staging path must equal the
+    two-step load_crops + pack_crops composition over the whole corpus,
+    including the corrupt frames' full-decode fallback."""
+    from glob import glob
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))
+    datas = [open(f, "rb").read() for f in files]
+    pad = jio.frontend_pad_hw()
+
+    packed1, ok1 = jio.load_packed_crops_from_bytes(
+        datas, params1.meter_rect, pad, num_threads=2)
+    crops, ok2 = jio.load_crops(files, params1.meter_rect)
+    packed2 = jio.pack_crops(crops, pad_hw=pad)
+
+    assert np.array_equal(ok1, ok2)
+    assert np.array_equal(packed1, packed2)
