@@ -194,6 +194,9 @@ def analyze_batch(
                              # stats domain from W*W to SB*SB keys per window.
                              # K must then be a multiple of len(origins).
     stats: str = "sort",     # "sort" (u16 sort) | "hist" (MXU histogram)
+                             # | "hist_pallas[_interpret]" (VMEM one-hot
+                             # histogram kernel, ops/pallas_stats.py;
+                             # ignores static_bbox — no u16 constraint)
     caps=None,               # (k_label, k_outside, k_fill) pass caps; None =
                              # the corpus-tuned defaults. High caps (the
                              # RESCUE_CAPS rescue path) guarantee convergence
@@ -378,6 +381,30 @@ def _finalize(
     owner_full = okey >> 2                       # owner, N at non-support
     contrib = _cell_contrib(owner_full, N)
     bbit = okey & 1
+
+    if stats.startswith("hist_pallas"):
+        # VMEM-resident one-hot histogram kernel: no u16-key constraint,
+        # so no bbox remap — labels stay full-window flat indices (the
+        # bbox pack exists only to fit the sort key; selection over the
+        # full window is identical because the bbox covers every support
+        # pixel and the label remap is monotone).
+        from . import pallas_stats
+        keymax = pallas_stats.stats_select(
+            okey, contrib, interpret=stats.endswith("interpret"))
+        sel_valid = keymax >= jnp.int32(0)
+        area2_sel = keymax >> 12
+        sel = jnp.where(sel_valid, keymax & jnp.int32(4095), N)
+
+        big_blob = sel_valid & (area2_sel > 200)  # contourArea > 100
+        fill_sel = ((owner_full == sel[:, None, None])
+                    & (sel[:, None, None] < N))
+        needle_region = jnp.where(
+            big_blob[:, None, None], fill_sel, closed)
+        return ComponentResult(
+            has_any=masked.any(axis=(1, 2)),
+            needle_region=needle_region,
+            converged=converged,
+        )
 
     # Every support pixel lies inside the dial disk, so when the caller
     # provides a static per-dial bounding box the stats cover SB*SB keys

@@ -1,0 +1,120 @@
+"""VMEM-resident component-stats kernel: largest-component selection
+via int8-MXU one-hot histograms.
+
+Replaces the XLA u16-sort stats stage (ops/components.py _stats_sort)
+on TPU. The XLA histogram formulation (_stats_hist) was measured slower
+than the sort because its [K, NS, 64] one-hots round-trip HBM; here the
+one-hots live and die in VMEM, so the stage is two small NT matmuls per
+window plus one max-reduce.
+
+Per 64x64 window, with owner labels l < 4096 at F-set pixels (component
++ enclosed holes, components.py) and the CCL sentinel 4096 elsewhere:
+
+    hi = l >> 6, lo = l & 63   (the sentinel's hi = 64 falls outside
+                                the one-hot range and drops out)
+    A  [64, 4096] i8 = onehot(hi) over pixels
+    Bb [64, 4096] i8 = onehot(lo) * boundary-bit
+    Ba [64, 4096] i8 = onehot(lo) * marching-squares cell contribution
+    B[hi, lo]  = A @ Bb^T   trace-pixel count per owner   (i32, exact)
+    A2[hi, lo] = A @ Ba^T   doubled contourArea per owner (i32, exact)
+
+B > 0 marks candidate components — exactly the top-level ones cv2's
+RETR_EXTERNAL lists (components.py _stats_hist docstring; reference
+meterelf/_reading.py:134-140). Selection key and tie-break are identical
+to the sort path (area2 first, larger owner label on ties = Python's
+stable sorted()[-1], reference _reading.py:132-148): the packed key
+key = area2 * 4096 + owner is strictly ordered that way, and its max is
+a plain i32 reduce. area2 <= 3*4096 keeps the key inside i32.
+
+Unlike the sort path there is no u16-key constraint, so the static
+per-dial stats bbox remap (components.py _finalize) is unnecessary:
+labels stay full-window flat indices and the caller decodes
+sel = key & 4095, area2 = key >> 12 directly.
+
+Measured on v5e (experiments/stats_prof.py, K=1024): 1.16 ms for the
+u16-sort stage -> 0.19 ms for this kernel end-to-end.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W = 64
+N = W * W        # labels are flat window indices; N = CCL sentinel
+GW = 8           # windows per program (i32 sublane tile)
+
+
+def _stats_kernel(okey_ref, contrib_ref, out_ref):
+    i32 = jnp.int32
+    i8 = jnp.int8
+    sub64 = lax.broadcasted_iota(i32, (64, N), 0)
+    zeros = jnp.zeros((64, N), i32)
+    cell = (lax.broadcasted_iota(i32, (64, 64), 0) * i32(64)
+            + lax.broadcasted_iota(i32, (64, 64), 1))
+    def dot_nt(x, y):
+        return lax.dot_general(
+            x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=i32)
+
+    for w in range(GW):
+        ok = okey_ref[w:w + 1, :]                    # [1, N] i32
+        owner = ok >> 2
+        # materialize every sublane broadcast in i32 BEFORE comparing
+        # (a replicated-source i1 compare can't be relayouted to the
+        # packed i1 tiling), and keep the weighted one-hots pure bool:
+        # Mosaic has neither i32->i8 converts nor i8 multiplies, but
+        # bool->i8 casts and i32 matmul-output adds are enough — the
+        # contrib payload (0..3) rides its two bits as separate masks.
+        hi = (owner >> 6) + zeros
+        lo = (owner & i32(63)) + zeros
+        bbit = (ok & i32(1)) + zeros
+        pc = contrib_ref[w:w + 1, :] + zeros
+        a = (hi == sub64).astype(i8)                 # [64, N] onehot(hi)
+        onelo = lo == sub64
+        mb = (onelo & (bbit > 0)).astype(i8)
+        m1 = (onelo & ((pc & i32(1)) > 0)).astype(i8)
+        m2 = (onelo & ((pc & i32(2)) > 0)).astype(i8)
+        hb = dot_nt(a, mb)                           # [64, 64] B
+        h2 = dot_nt(a, m2)
+        ha = dot_nt(a, m1) + h2 + h2                 # [64, 64] A2
+        key = jnp.where(hb > 0, ha * i32(4096) + cell, i32(-1))
+        out_ref[w, :] = jnp.full((128,), jnp.max(key), i32)
+
+
+def stats_select(okey: jnp.ndarray, contrib: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """okey [K, W, W] i32 packed owner keys (owner = okey >> 2, trace
+    bit = okey & 1, components.py), contrib [K, W, W] i32 cell
+    contributions -> key_max [K] i32: area2*4096 + owner label of the
+    selected component, or -1 when the window has no candidate."""
+    K = okey.shape[0]
+    assert okey.shape[1:] == (W, W) and contrib.shape == okey.shape
+    # hard-pin i32: callers trace under ambient x64, and any i64 leaking
+    # into the kernel sends Mosaic's convert lowering into recursion
+    okf = okey.reshape(K, N).astype(jnp.int32)
+    pcf = contrib.reshape(K, N).astype(jnp.int32)
+    kp = -(-K // GW) * GW
+    if kp != K:  # pad with sentinel-owner rows: hi = 64, no candidates
+        okf = jnp.concatenate(
+            [okf, jnp.full((kp - K, N), jnp.int32(N * 4))], axis=0)
+        pcf = jnp.concatenate(
+            [pcf, jnp.zeros((kp - K, N), jnp.int32)], axis=0)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _stats_kernel,
+            out_shape=jax.ShapeDtypeStruct((kp, 128), jnp.int32),
+            grid=(kp // GW,),
+            in_specs=[
+                pl.BlockSpec((GW, N), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((GW, N), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((GW, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(okf, pcf)
+    return out[:K, 0]

@@ -25,6 +25,7 @@ ops/angles.py for why both modes share identical discrete behavior.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -39,6 +40,13 @@ from ..ops import color as color_ops
 from ..ops import components as comp_ops
 from ..ops import morphology as morph_ops
 from ..ops import template as template_ops
+
+
+# stats implementation for the quad-kernel path: "sort" (XLA u16 sort)
+# or "hist_pallas" (VMEM one-hot histogram kernel, ops/pallas_stats.py).
+# Measured at parity on v5e (experiments/stats_pallas_check.py — the
+# kernel is VPU-bound on one-hot construction); sort stays the default.
+_QUAD_STATS = os.environ.get("METERELF_QUAD_STATS", "sort")
 
 
 class BatchResult(NamedTuple):
@@ -176,7 +184,7 @@ def _decode_batch(
             closed_f = dequad(((bits >> 2) & 1) != 0)
             comp = comp_ops._finalize(
                 okey, masked_f, closed_f, conv_q.reshape(B * D),
-                static_bbox=static_bbox)
+                static_bbox=static_bbox, stats=_QUAD_STATS)
             masked = masked_f.reshape(B, D, W, W)
         else:
             # dial windows at STATIC offsets within the superwindow

@@ -144,6 +144,42 @@ def test_pallas_ccl_matches_xla_propagation(density):
                           np.asarray(r_p.converged))
 
 
+@pytest.mark.parametrize("density", [0.08, 0.3])
+def test_pallas_stats_matches_sort(density):
+    """The VMEM one-hot histogram stats kernel (ops/pallas_stats.py)
+    must select the same component as the u16-sort stage — both with
+    and without the production per-dial bbox on the sort side (the
+    kernel always works full-window; the bbox remap is monotone so the
+    selection is identical). K=18 also exercises the pad-to-GW rows."""
+    rng = np.random.default_rng(int(density * 1000))
+    W = 64
+    K = 18
+    yy, xx = np.mgrid[:W, :W]
+    disk = (yy - 32) ** 2 + (xx - 32) ** 2 <= 23 ** 2
+    closed = rng.random((K, W, W)) < density
+    for k in range(K // 2):  # half the windows get a real blob
+        cy, cx = rng.integers(16, 48, 2)
+        closed[k] |= ((yy - cy) ** 2 + (xx - cx) ** 2) <= 64
+    masked = closed & disk
+    diskb = np.broadcast_to(disk, (K, W, W)).copy()
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    stats = ("hist_pallas" if dev.platform == "tpu"
+             else "hist_pallas_interpret")
+    run = jax.jit(comp_ops.analyze_batch,
+                  static_argnames=("impl", "stats", "static_bbox"))
+    args = (jnp.asarray(masked), jnp.asarray(closed), jnp.asarray(diskb))
+    r_s = run(*args, impl="xla", stats="sort")
+    r_b = run(*args, impl="xla", stats="sort",
+              static_bbox=(((8, 8),) * 3, 48))  # K % 3 == 0
+    r_p = run(*args, impl="xla", stats=stats)
+    for ref in (r_s, r_b):
+        assert np.array_equal(np.asarray(ref.needle_region),
+                              np.asarray(r_p.needle_region))
+        assert np.array_equal(np.asarray(ref.has_any),
+                              np.asarray(r_p.has_any))
+
+
 def test_fused_matcher_matches_v1_plus_boxsum():
     """pallas_match2 (correlation + in-kernel integral-image boxsum)
     must be bit-identical to the v1 kernel + XLA boxsum composition."""
