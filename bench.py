@@ -96,21 +96,30 @@ def main() -> None:
     n = crops_c.shape[0]
     reps = -(-REPLAY_FRAMES // n)
     n_batches = REPLAY_FRAMES // BATCH
-    frames = n_batches * BATCH
-    crops_all = np.tile(crops_c, (reps,) + (1,) * (crops_c.ndim - 1))[:frames]
-    ok_all = np.tile(ok_c, reps)[:frames]
+    # The whole replay is ONE dispatch, but one dispatch still carries
+    # the host/tunnel round-trip (~30 ms here) on the clock; PASSES
+    # sweeps the staged set repeatedly inside that dispatch so the
+    # fixed cost amortizes below 1% without staging PASSES x the HBM.
+    passes = int(os.environ.get("METERELF_BENCH_PASSES", "4"))
+    frames = n_batches * BATCH * passes
+    crops_all = np.tile(
+        crops_c, (reps,) + (1,) * (crops_c.ndim - 1))[:n_batches * BATCH]
+    ok_all = np.tile(ok_c, reps)[:n_batches * BATCH]
     crops_dev = jax.device_put(
         crops_all.reshape(n_batches, BATCH, *crops_all.shape[1:]))
     ok_dev = jax.device_put(ok_all.reshape(n_batches, BATCH))
 
     @jax.jit
     def replay(cs, oks):
-        def step(args):
-            c, o = args
+        def step(i):
+            b = i % n_batches
+            c = lax.dynamic_index_in_dim(cs, b, keepdims=False)
+            o = lax.dynamic_index_in_dim(oks, b, keepdims=False)
             r = dec._fn(dec.param_arrays, c, o)
             return r.value.sum() + r.err.sum().astype(r.value.dtype)
 
-        return lax.map(step, (cs, oks)).sum()
+        return lax.map(
+            step, jnp.arange(n_batches * passes, dtype=jnp.int32)).sum()
 
     _ = float(replay(crops_dev, ok_dev))  # compile + warmup
     # best of 3 timed replays: the replay itself is deterministic device

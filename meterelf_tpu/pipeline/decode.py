@@ -42,11 +42,15 @@ from ..ops import morphology as morph_ops
 from ..ops import template as template_ops
 
 
-# stats implementation for the quad-kernel path: "sort" (XLA u16 sort)
-# or "hist_pallas" (VMEM one-hot histogram kernel, ops/pallas_stats.py).
-# Measured at parity on v5e (experiments/stats_pallas_check.py — the
-# kernel is VPU-bound on one-hot construction); sort stays the default.
-_QUAD_STATS = os.environ.get("METERELF_QUAD_STATS", "sort")
+# stats implementation for the quad-kernel path: "hist_pallas" (VMEM
+# one-hot histogram kernel, ops/pallas_stats.py) or "sort" (XLA u16
+# sort). The histogram kernel is the default: +10.7% full-pipeline
+# throughput on v5e (50.6k vs 45.7k img/s, dispatch-floor-amortized
+# bench A/B; an earlier "parity" reading came from a harness whose
+# per-variant cost was dominated by the ~30 ms tunnel dispatch floor —
+# see docs/performance.md "measurement trap"). The quad path itself is
+# selected only when conv_precision == "pallas", i.e. on TPU.
+_QUAD_STATS = os.environ.get("METERELF_QUAD_STATS", "hist_pallas")
 
 
 class BatchResult(NamedTuple):
