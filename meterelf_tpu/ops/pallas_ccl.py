@@ -20,6 +20,7 @@ for the cv2-semantics rationale. Reference: meterelf/_reading.py:132-148.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -300,8 +301,11 @@ def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False,
     return okey, conv
 
 
-GQ = 8            # images (window quads) per program in quad layout
-                  # (8-row conv output block: Mosaic block-shape rule)
+GQ = int(os.environ.get("METERELF_CCL_GQ", "8"))
+                  # images (window quads) per program in quad layout;
+                  # >= 8 (the conv output block needs 8 sublanes:
+                  # Mosaic block-shape rule). Env override is for
+                  # perf experiments; 8 is the measured default.
 
 
 def propagate_quads(bits_quads: jnp.ndarray, *, interpret=False, caps=None):
