@@ -68,13 +68,15 @@ import jax.numpy as jnp
 from jax import lax
 
 # propagation iteration counts, sized from measured fixpoint distances
-# over the full 1216-dial corpus (label: hybrid scan+min passes max 5;
-# outside: 30 plain steps; fill: 5) plus safety margin. analyze() also
-# reports a convergence bit (one extra step changes nothing) so
+# over the full 1208-dial corpus under the ALTERNATING half-sweep
+# schedule (experiments/ccl_pass_variants.py: label max 7 halves,
+# outside max 4, fill max 5) plus safety margin; label/outside are kept
+# EVEN because the Pallas kernel iterates fwd+rev half-pairs. analyze()
+# also reports a convergence bit (one extra step changes nothing) so
 # out-of-corpus shapes that need more iterations are detected, not
 # silently mislabeled.
-K_LABEL_HYBRID = 7
-K_OUTSIDE_HYBRID = 4
+K_LABEL_HYBRID = 10
+K_OUTSIDE_HYBRID = 6
 K_FILL = 8
 
 
@@ -113,14 +115,29 @@ def _rid_of(walls: _SegWalls, axis: int, reverse: bool) -> jnp.ndarray:
     return walls.rev_col if reverse else walls.fwd_col
 
 
-def _seg_min_sweep(vals: jnp.ndarray, walls: _SegWalls) -> jnp.ndarray:
-    """All four segmented cummin sweeps (fwd/rev x row/col), using the
-    monotone-offset transform: v' = rid*BASE + (BASE-1-v). Later runs (in
-    scan direction) get strictly larger offsets, so a global cummax never
+# Half-pass sweep schedule: even halves sweep forward along rows+cols,
+# odd halves sweep backward — half the sweep work of the old
+# all-four-directions pass at a sublinear increase in fixpoint distance
+# (corpus label max: 5 full passes -> 7 halves;
+# experiments/ccl_pass_variants.py "alt-dir"). Any schedule reaches the
+# same unique fixpoint, and a no-op composite half still certifies it:
+# labels only decrease, so half(x) == x forces its min3x3 part to be a
+# no-op, which makes labels constant per 8-connected component.
+_ALT_DIRS = (
+    ((-1, False), (-2, False)),
+    ((-1, True), (-2, True)),
+)
+
+
+def _seg_min_sweep(vals: jnp.ndarray, walls: _SegWalls,
+                   dirs) -> jnp.ndarray:
+    """Segmented cummin sweeps along `dirs`, using the monotone-offset
+    transform: v' = rid*BASE + (BASE-1-v). Later runs (in scan
+    direction) get strictly larger offsets, so a global cummax never
     leaks values across run boundaries; within a run max(BASE-1-v)
     recovers min(v)."""
     nd = vals.ndim
-    for axis, reverse in ((-1, False), (-1, True), (-2, False), (-2, True)):
+    for axis, reverse in dirs:
         rid = _rid_of(walls, axis, reverse)
         vp = rid * _SEG_BASE + (_SEG_BASE - 1 - vals)
         m = lax.cummax(vp, axis=axis % nd, reverse=reverse)
@@ -128,11 +145,12 @@ def _seg_min_sweep(vals: jnp.ndarray, walls: _SegWalls) -> jnp.ndarray:
     return vals
 
 
-def _seg_or_sweep(vals: jnp.ndarray, walls: _SegWalls) -> jnp.ndarray:
-    """All four segmented cumulative-OR sweeps; same offset trick with
-    0/1 payloads."""
+def _seg_or_sweep(vals: jnp.ndarray, walls: _SegWalls,
+                  dirs) -> jnp.ndarray:
+    """Segmented cumulative-OR sweeps along `dirs`; same offset trick
+    with 0/1 payloads."""
     nd = vals.ndim
-    for axis, reverse in ((-1, False), (-1, True), (-2, False), (-2, True)):
+    for axis, reverse in dirs:
         rid = _rid_of(walls, axis, reverse)
         vp = rid * 2 + vals.astype(jnp.int32)
         m = lax.cummax(vp, axis=axis % nd, reverse=reverse)
@@ -217,16 +235,16 @@ def analyze_batch(
 
 
 def _iterate(k_max: int, body, x0):
-    """Run body up to k_max times; -> (x_final, eq = elementwise
+    """Run body(i, x) up to k_max times; -> (x_final, eq = elementwise
     "the final pass changed nothing"). Small caps unroll (XLA fuses
     across passes); large caps ride a lax.while_loop with early exit
     (compile size stays constant, runtime is pay-per-pass)."""
     if k_max <= 12:
         prev = x0
         x = x0
-        for _ in range(k_max):
+        for i in range(k_max):
             prev = x
-            x = body(x)
+            x = body(i, x)
         return x, x == prev
 
     def cond(c):
@@ -235,7 +253,7 @@ def _iterate(k_max: int, body, x0):
 
     def step(c):
         i, _, x, _ = c
-        nx = body(x)
+        nx = body(i, x)
         eq = nx == x
         return (i + jnp.int32(1), eq.all(), nx, eq)
 
@@ -246,9 +264,11 @@ def _iterate(k_max: int, body, x0):
 
 
 # rescue-path caps: generous enough for any plausible 64x64 mask (a
-# full serpentine needs ~one hybrid pass per switchback, <= 64); decode
-# users re-run non-converged windows through these (pipeline/decode.py)
-RESCUE_CAPS = (128, 64, 192)
+# full serpentine needs ~one hybrid pass per switchback, <= 64; the
+# alternating half-sweeps at most double that). Kept even (the Pallas
+# kernel iterates half-PAIRS). Decode users re-run non-converged
+# windows through these (pipeline/decode.py)
+RESCUE_CAPS = (192, 96, 192)
 
 
 def _propagate_xla(
@@ -277,10 +297,18 @@ def _propagate_xla(
     labels = jnp.where(masked, idx, BIG)
     label_walls = _make_walls(~masked)
 
-    def hybrid_pass(lab):
+    def hybrid_half(dirs, lab):
         lab = jnp.where(masked, jnp.minimum(lab, _min3x3(lab, BIG)), BIG)
-        lab = _seg_min_sweep(lab, label_walls)
+        lab = _seg_min_sweep(lab, label_walls, dirs)
         return jnp.where(masked, lab, BIG)
+
+    def hybrid_pass(i, lab):
+        if isinstance(i, int):  # unrolled caps: static schedule
+            return hybrid_half(_ALT_DIRS[i % 2], lab)
+        return lax.cond(  # while-loop caps (rescue): traced index
+            i % 2 == 0,
+            lambda v: hybrid_half(_ALT_DIRS[0], v),
+            lambda v: hybrid_half(_ALT_DIRS[1], v), lab)
 
     # convergence = "the final pass changed nothing": saves the separate
     # verification pass the old formulation ran after the loop (the caps
@@ -295,17 +323,26 @@ def _propagate_xla(
     outside = bg & ~disk
     bg_walls = _make_walls(masked)
 
-    def out_pass(out):
+    def out_half(dirs, out):
         out = out | (bg & _any4(out))
-        out = _seg_or_sweep(out, bg_walls)
+        out = _seg_or_sweep(out, bg_walls, dirs)
         return out & bg
+
+    def out_pass(i, out):
+        if isinstance(i, int):
+            return out_half(_ALT_DIRS[i % 2], out)
+        return lax.cond(
+            i % 2 == 0,
+            lambda v: out_half(_ALT_DIRS[0], v),
+            lambda v: out_half(_ALT_DIRS[1], v), out)
 
     outside, outside_eq = _iterate(k_outside, out_pass, outside)
     enclosed = bg & ~outside
     support = masked | enclosed
 
     # ---- assign enclosed holes to their surrounding component ----
-    def fill_pass(own):
+    def fill_pass(i, own):
+        del i  # min3x3-only: no sweep schedule to alternate
         return jnp.where(
             enclosed, jnp.minimum(own, _min3x3(own, BIG)), own)
 

@@ -145,17 +145,20 @@ def _any8(x, S, sub, lane):
     return jnp.maximum(ri, jnp.maximum(lf, rt)) > 0
 
 
-def _run_until(k_max: int, body, x0):
+def _run_until(k_max: int, body, x0, reduce_eq):
     """Iterate body at most k_max times, exiting as soon as an iteration
     is a no-op. Propagation passes are idempotent at their fixpoint, so
     the result is bit-identical to always running k_max passes — but the
     corpus typically converges in 1-3, and the while exits there.
 
-    Returns (x_final, eq_i32): eq is the elementwise (last pass was a
-    no-op) indicator — the per-window convergence evidence, matching the
-    XLA path's (x_cap == x_{cap-1}) flag without the extra verification
-    pass the old formulation spent recomputing a full pass after the
-    loop."""
+    Returns (x_final, red_i32): red = reduce_eq(elementwise "last pass
+    was a no-op") — the per-window convergence evidence, matching the
+    XLA path's (x_cap == x_{cap-1}) flag. The reduction runs INSIDE the
+    step so the while carries the small [grp, lanes] summary instead of
+    a full [S, lanes] eq raster: the big carry measurably taxed every
+    iteration (docs/performance.md "pass-count economics")."""
+    red0 = reduce_eq(jnp.zeros_like(x0, jnp.int32))
+
     def cond(c):
         i, done, _, _ = c
         return (i < jnp.int32(k_max)) & jnp.logical_not(done)
@@ -163,14 +166,48 @@ def _run_until(k_max: int, body, x0):
     def step(c):
         i, _, x, _ = c
         nx = body(x)
-        eq = (nx == x).astype(jnp.int32)
-        done = jnp.min(eq) > 0
-        return (i + jnp.int32(1), done, nx, eq)
+        red = reduce_eq((nx == x).astype(jnp.int32))
+        done = jnp.min(red) > 0
+        return (i + jnp.int32(1), done, nx, red)
 
-    _, _, xf, eqf = lax.while_loop(
-        cond, step,
-        (jnp.int32(0), jnp.bool_(False), x0, jnp.zeros_like(x0, jnp.int32)))
-    return xf, eqf
+    _, _, xf, redf = lax.while_loop(
+        cond, step, (jnp.int32(0), jnp.bool_(False), x0, red0))
+    return xf, redf
+
+
+def _run_until_pairs(k_halves: int, half_fwd, half_rev, x0, reduce_eq):
+    """Alternating-schedule variant of _run_until: each iteration runs
+    a forward-sweep half then a reverse-sweep half, both with STATIC
+    roll amounts (selecting the direction at runtime forces dynamic
+    rotates — measured 18% slower end-to-end, docs/performance.md).
+    Convergence is detected on the SECOND half only: labels move
+    monotonically, so a no-op first half forces a no-op second half —
+    nothing is missed, and the flag equals the XLA path's "last
+    executed half changed nothing" (components.py _iterate runs
+    k_halves halves unrolled; both reach the same unique fixpoint)."""
+    assert k_halves % 2 == 0
+    red0 = reduce_eq(jnp.zeros_like(x0, jnp.int32))
+
+    def cond(c):
+        i, done, _, _ = c
+        return (i < jnp.int32(k_halves // 2)) & jnp.logical_not(done)
+
+    def step(c):
+        i, _, x, _ = c
+        x1 = half_fwd(x)
+        x2 = half_rev(x1)
+        # equality via subtraction: both halves of the OUT phase are
+        # i1-derived i32 casts, and a direct x2 == x1 gets canonicalized
+        # back to an i1-vector cmpi Mosaic cannot legalize
+        red = reduce_eq(
+            jnp.where((x2 - x1) == jnp.int32(0), jnp.int32(1),
+                      jnp.int32(0)))
+        done = jnp.min(red) > 0
+        return (i + jnp.int32(1), done, x2, red)
+
+    _, _, xf, redf = lax.while_loop(
+        cond, step, (jnp.int32(0), jnp.bool_(False), x0, red0))
+    return xf, redf
 
 
 def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
@@ -187,32 +224,45 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
     masked = (bits & 1) != 0
     disk = (bits & 2) != 0
 
+    def reduce_eq(eq):
+        return jnp.min(eq.reshape(grp, W, lanes), axis=1)  # [grp, lanes]
+
     # ---- labels ----
     label_rids = _make_rids(~masked, S, sub, lane)
+    lab_fwd = [label_rids[0], label_rids[2]]   # row-fwd, col-fwd
+    lab_rev = [label_rids[1], label_rids[3]]   # row-rev, col-rev
 
-    def label_pass(lab):
+    def label_half(rids_sub, lab):
         lab = jnp.where(
             masked, jnp.minimum(lab, _min3x3(lab, S, sub, lane, N)), BIG)
-        lab = _seg_min_sweep(lab, label_rids, S, sub, lane)
+        lab = _seg_min_sweep(lab, rids_sub, S, sub, lane)
         return jnp.where(masked, lab, BIG)
 
-    labels, eq_lab = _run_until(
-        k_label, label_pass, jnp.where(masked, idx, BIG))
+    labels, red_lab = _run_until_pairs(
+        k_label,
+        functools.partial(label_half, lab_fwd),
+        functools.partial(label_half, lab_rev),
+        jnp.where(masked, idx, BIG), reduce_eq)
 
     # ---- outside flood ----
     bg = ~masked
     bg_rids = _complement_rids(label_rids, sub, lane)
+    bg_fwd = [bg_rids[0], bg_rids[2]]
+    bg_rev = [bg_rids[1], bg_rids[3]]
 
     # the while carry must be i32 — Mosaic cannot legalize scf.yield of
     # an i1 vector (experiments: /tmp/while_test.py boolvec)
-    def out_pass_i32(out_i):
+    def out_half_i32(rids_sub, out_i):
         out = out_i != 0
         o = out | (bg & _any4(out, S, sub, lane))
-        o = _seg_or_sweep(o, bg_rids, S, sub, lane)
+        o = _seg_or_sweep(o, rids_sub, S, sub, lane)
         return (o & bg).astype(i32)
 
-    outside_i, eq_out = _run_until(
-        k_outside, out_pass_i32, (bg & ~disk).astype(i32))
+    outside_i, red_out = _run_until_pairs(
+        k_outside,
+        functools.partial(out_half_i32, bg_fwd),
+        functools.partial(out_half_i32, bg_rev),
+        (bg & ~disk).astype(i32), reduce_eq)
     outside = outside_i != 0
     enclosed = bg & ~outside
     support = masked | enclosed
@@ -223,8 +273,8 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
             enclosed,
             jnp.minimum(own, _min3x3(own, S, sub, lane, N)), own)
 
-    owner, eq_fill = _run_until(
-        k_fill, fill_pass, jnp.where(masked, labels, BIG))
+    owner, red_fill = _run_until(
+        k_fill, fill_pass, jnp.where(masked, labels, BIG), reduce_eq)
 
     # ---- outputs ----
     boundary = masked & _any8(outside, S, sub, lane)
@@ -234,8 +284,7 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
 
     # bool multi-reductions don't lower in Mosaic; use i32 min-reduce.
     # per-window convergence bit -> conv_ref lane b for window block b
-    eq = eq_lab & eq_out & eq_fill
-    red = jnp.min(eq.reshape(grp, W, lanes), axis=1)       # [grp, lanes]
+    red = jnp.minimum(jnp.minimum(red_lab, red_out), red_fill)
     lane_r = lax.broadcasted_iota(i32, (grp, lanes), 1)
     lane_o = lax.broadcasted_iota(i32, (grp, 128), 1)
     conv = jnp.zeros((grp, 128), i32)
