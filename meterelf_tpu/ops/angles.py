@@ -49,10 +49,68 @@ def read_dial(
     zero_turn: jnp.ndarray,     # [] f: angle_of_zero / 360
     sum_dtype=None,             # accumulation dtype (default: data dtype)
 ) -> DialReading:
+    needle = region_flat[disk_idx] & disk_valid
+    tip = region_flat[ann_idx] & ann_valid
+    return _read_dial_core(
+        needle, tip, disk_sx2, disk_sy2,
+        ann_x, ann_y, ann_angle, ann_sqd,
+        neg_sign, zero_turn, sum_dtype=sum_dtype)
+
+
+def read_dial_from_okey(
+    okey_flat: jnp.ndarray,     # [W*W] i32 okey3 (owner*8+closed*4+...)
+    keymax: jnp.ndarray,        # [] i32 stats_select_fused key, -1 = none
+    disk_idx: jnp.ndarray,
+    disk_valid: jnp.ndarray,
+    disk_sx2: jnp.ndarray,
+    disk_sy2: jnp.ndarray,
+    ann_idx: jnp.ndarray,
+    ann_valid: jnp.ndarray,
+    ann_x: jnp.ndarray,
+    ann_y: jnp.ndarray,
+    ann_angle: jnp.ndarray,
+    ann_sqd: jnp.ndarray,
+    neg_sign: jnp.ndarray,
+    zero_turn: jnp.ndarray,
+    sum_dtype=None,
+) -> DialReading:
+    """read_dial against the packed owner-key raster directly: the
+    needle-region bit is derived AT the gather points (big blob ->
+    owner == selected, else the closed mask, exactly components.py
+    _finalize's epilogue), so the region raster never materializes —
+    the fused-stats path of pipeline/decode.py."""
+    i32 = jnp.int32
+    valid = keymax >= i32(0)
+    big = valid & ((keymax >> 12) > i32(200))    # contourArea > 100
+    sel = keymax & i32(4095)
+
+    def region(ok):
+        return jnp.where(big, (ok >> 3) == sel, (ok & i32(4)) != 0)
+
+    needle = region(okey_flat[disk_idx]) & disk_valid
+    tip = region(okey_flat[ann_idx]) & ann_valid
+    return _read_dial_core(
+        needle, tip, disk_sx2, disk_sy2,
+        ann_x, ann_y, ann_angle, ann_sqd,
+        neg_sign, zero_turn, sum_dtype=sum_dtype)
+
+
+def _read_dial_core(
+    needle: jnp.ndarray,        # [Pd] bool needle bits at disk slots
+    tip: jnp.ndarray,           # [Pa] bool needle bits at annulus slots
+    disk_sx2: jnp.ndarray,
+    disk_sy2: jnp.ndarray,
+    ann_x: jnp.ndarray,
+    ann_y: jnp.ndarray,
+    ann_angle: jnp.ndarray,
+    ann_sqd: jnp.ndarray,
+    neg_sign: jnp.ndarray,
+    zero_turn: jnp.ndarray,
+    sum_dtype=None,
+) -> DialReading:
     f = disk_sx2.dtype
     acc = jnp.dtype(sum_dtype) if sum_dtype is not None else f
 
-    needle = region_flat[disk_idx] & disk_valid
     # momentum terms are multiples of 0.01 far below 2^53: f64 sums are
     # exact regardless of reduction order
     mom_x = jnp.sum(jnp.where(needle, disk_sx2, f.type(0)).astype(acc))
@@ -61,7 +119,6 @@ def read_dial(
     msx = sign * mom_x
     msy = sign * mom_y
 
-    tip = region_flat[ann_idx] & ann_valid
     dot = ann_x.astype(acc) * msx + ann_y.astype(acc) * msy
     kept = tip & (dot > 0)
     n = jnp.sum(kept).astype(jnp.int32)

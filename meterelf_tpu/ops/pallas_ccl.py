@@ -212,7 +212,7 @@ def _run_until_pairs(k_halves: int, half_fwd, half_rev, x0, reduce_eq):
 
 def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
                 caps=(K_LABEL_HYBRID, K_OUTSIDE_HYBRID, K_FILL),
-                grp=GP, lanes=128):
+                grp=GP, lanes=128, pack_closed=False):
     k_label, k_outside, k_fill = caps
     S = grp * W
     i32 = jnp.int32
@@ -278,8 +278,17 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
 
     # ---- outputs ----
     boundary = masked & _any8(outside, S, sub, lane)
-    okey = (jnp.where(support, owner, BIG) * 4
-            + masked.astype(i32) * 2 + boundary.astype(i32))
+    if pack_closed:
+        # fused-stats packing: owner*8 + closed*4 + masked*2 + boundary
+        # (ops/pallas_stats.stats_select_fused + angles.read_dial_from_okey
+        # consume the closed bit so the needle-region raster and the
+        # masked/closed dequads never materialize — pipeline/decode.py)
+        closed = (bits >> 2) & 1
+        okey = (jnp.where(support, owner, BIG) * 8 + closed * 4
+                + masked.astype(i32) * 2 + boundary.astype(i32))
+    else:
+        okey = (jnp.where(support, owner, BIG) * 4
+                + masked.astype(i32) * 2 + boundary.astype(i32))
     okey_ref[...] = okey
 
     # bool multi-reductions don't lower in Mosaic; use i32 min-reduce.
@@ -357,10 +366,16 @@ GQ = int(os.environ.get("METERELF_CCL_GQ", "8"))
                   # perf experiments; 8 is the measured default.
 
 
-def propagate_quads(bits_quads: jnp.ndarray, *, interpret=False, caps=None):
+def propagate_quads(bits_quads: jnp.ndarray, *, interpret=False, caps=None,
+                    pack_closed=False):
     """Quad-layout propagation: [B, W, 4*W] i32 packed bits (bit 0 =
-    masked, bit 1 = disk; the windows kernel's native output,
-    ops/pallas_windows.py) -> (okey [B, W, 4*W] i32, converged [B, 4]).
+    masked, bit 1 = disk, bit 2 = closed; the windows kernel's native
+    output, ops/pallas_windows.py) -> (okey [B, W, 4*W] i32,
+    converged [B, 4]).
+
+    okey packs owner*4 + masked*2 + boundary, or with pack_closed
+    owner*8 + closed*4 + masked*2 + boundary (the fused-stats layout,
+    ops/pallas_stats.stats_select_fused).
 
     Same kernel as propagate(), at 256 lanes: the 64-block-segmented
     machinery is layout-agnostic, so four windows ride one row."""
@@ -373,7 +388,7 @@ def propagate_quads(bits_quads: jnp.ndarray, *, interpret=False, caps=None):
             [bits_quads, jnp.zeros((pad, W, 4 * W), jnp.int32)], 0)
 
     kernel = functools.partial(
-        _ccl_kernel, grp=GQ, lanes=4 * W,
+        _ccl_kernel, grp=GQ, lanes=4 * W, pack_closed=pack_closed,
         **({} if caps is None else {"caps": tuple(caps)}))
     with jax.enable_x64(False):
         okey, conv = pl.pallas_call(

@@ -84,6 +84,108 @@ def _stats_kernel(okey_ref, contrib_ref, out_ref):
         out_ref[w, :] = jnp.full((128,), jnp.max(key), i32)
 
 
+def _stats_fused_kernel(okey_ref, out_ref):
+    """Fused variant: okey3 packing (owner*8 + closed*4 + masked*2 +
+    boundary, pallas_ccl pack_closed=True) in, [keymax, has_any] row
+    out. The marching-squares cell contributions (components.py
+    _cell_contrib) are computed IN-KERNEL from the owner plane, so the
+    XLA contrib stage and its HBM round trips disappear entirely
+    (pipeline/decode.py fused-stats path)."""
+    i32 = jnp.int32
+    i8 = jnp.int8
+    ok_all = okey_ref[...]                       # [GW, N] i32 okey3
+    own_all = ok_all >> 3                        # owner, N at non-support
+
+    # ---- cell contributions in flat-lane layout: lane j = r*64 + c,
+    # cells live at r < 63 & c < 63. Cyclic roll wrap sources are always
+    # invalid cells (r = 63 or c = 63), so no receive-side masks needed.
+    lane_j = lax.broadcasted_iota(i32, (GW, N), 1)
+    r = lane_j >> 6
+    c = lane_j & i32(63)
+    o00 = own_all
+    o01 = pltpu.roll(own_all, N - 1, 1)          # j sees j + 1
+    o10 = pltpu.roll(own_all, N - 64, 1)         # j sees j + 64
+    o11 = pltpu.roll(own_all, N - 65, 1)
+    m = jnp.minimum(jnp.minimum(o00, o01), jnp.minimum(o10, o11))
+    e00 = (o00 == m).astype(i32)
+    e01 = (o01 == m).astype(i32)
+    e10 = (o10 == m).astype(i32)
+    e11 = (o11 == m).astype(i32)
+    k = e00 + e01 + e10 + e11
+    vcell = ((r < i32(63)) & (c < i32(63))
+             & (m < i32(N))).astype(i32)
+    cls = vcell * jnp.where(k == 4, i32(2),
+                            jnp.where(k == 3, i32(1), i32(0)))
+    a01 = e01 * (1 - e00)
+    a10 = e10 * (1 - e00) * (1 - e01)
+    a11 = e11 * (1 - e00) * (1 - e01) * (1 - e10)
+    contrib_all = (cls * e00
+                   + pltpu.roll(cls * a01, 1, 1)     # from cell j - 1
+                   + pltpu.roll(cls * a10, 64, 1)    # from cell j - 64
+                   + pltpu.roll(cls * a11, 65, 1))   # from cell j - 65
+
+    sub64 = lax.broadcasted_iota(i32, (64, N), 0)
+    zeros = jnp.zeros((64, N), i32)
+    cell = (lax.broadcasted_iota(i32, (64, 64), 0) * i32(64)
+            + lax.broadcasted_iota(i32, (64, 64), 1))
+    il = lax.broadcasted_iota(i32, (1, 128), 1)
+
+    def dot_nt(x, y):
+        return lax.dot_general(
+            x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=i32)
+
+    for w in range(GW):
+        ok = ok_all[w:w + 1, :]                      # [1, N] i32
+        owner = ok >> 3
+        hi = (owner >> 6) + zeros
+        lo = (owner & i32(63)) + zeros
+        bbit = (ok & i32(1)) + zeros
+        pc = contrib_all[w:w + 1, :] + zeros
+        a = (hi == sub64).astype(i8)                 # [64, N] onehot(hi)
+        onelo = lo == sub64
+        mb = (onelo & (bbit > 0)).astype(i8)
+        m1 = (onelo & ((pc & i32(1)) > 0)).astype(i8)
+        m2 = (onelo & ((pc & i32(2)) > 0)).astype(i8)
+        hb = dot_nt(a, mb)                           # [64, 64] B
+        h2 = dot_nt(a, m2)
+        ha = dot_nt(a, m1) + h2 + h2                 # [64, 64] A2
+        key = jnp.where(hb > 0, ha * i32(4096) + cell, i32(-1))
+        km = jnp.max(key)
+        anym = jnp.max((ok >> 1) & i32(1))           # has_any (masked bit)
+        out_ref[w:w + 1, :] = jnp.where(
+            il == 0, jnp.full((1, 128), km, i32),
+            jnp.full((1, 128), anym, i32))
+
+
+def stats_select_fused(okey3: jnp.ndarray, interpret: bool = False):
+    """okey3 [K, W, W] or [K, N] i32 in the pack_closed layout
+    (owner = okey3 >> 3, boundary bit = okey3 & 1, masked bit =
+    (okey3 >> 1) & 1) -> (key_max [K] i32 as stats_select, has_any [K]
+    bool). Cell contributions are derived in-kernel; callers skip
+    components._cell_contrib and the masked-plane dequad entirely."""
+    K = okey3.shape[0]
+    okf = okey3.reshape(K, N).astype(jnp.int32)
+    kp = -(-K // GW) * GW
+    if kp != K:  # pad with sentinel-owner rows: hi = 64, no candidates
+        okf = jnp.concatenate(
+            [okf, jnp.full((kp - K, N), jnp.int32(N * 8))], axis=0)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _stats_fused_kernel,
+            out_shape=jax.ShapeDtypeStruct((kp, 128), jnp.int32),
+            grid=(kp // GW,),
+            in_specs=[
+                pl.BlockSpec((GW, N), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((GW, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(okf)
+    return out[:K, 0], out[:K, 1] != 0
+
+
 def stats_select(okey: jnp.ndarray, contrib: jnp.ndarray,
                  interpret: bool = False) -> jnp.ndarray:
     """okey [K, W, W] i32 packed owner keys (owner = okey >> 2, trace

@@ -42,13 +42,18 @@ from ..ops import morphology as morph_ops
 from ..ops import template as template_ops
 
 
-# stats implementation for the quad-kernel path: "hist_pallas" (VMEM
-# one-hot histogram kernel, ops/pallas_stats.py) or "sort" (XLA u16
-# sort). The histogram kernel is the default: +10.7% full-pipeline
-# throughput on v5e (50.6k vs 45.7k img/s, dispatch-floor-amortized
-# bench A/B; an earlier "parity" reading came from a harness whose
-# per-variant cost was dominated by the ~30 ms tunnel dispatch floor —
-# see docs/performance.md "measurement trap"). The quad path itself is
+# stats implementation for the quad-kernel path: "fused" (stats kernel
+# consumes the packed owner keys directly, computes cell contributions
+# in-kernel, and the needle-region bit is derived at the angle-stage
+# gather points — no contrib stage, no region raster, no masked/closed
+# dequads; ops/pallas_stats.stats_select_fused +
+# ops/angles.read_dial_from_okey), "hist_pallas" (VMEM one-hot
+# histogram kernel over XLA-built contributions), or "sort" (XLA u16
+# sort). hist_pallas was +10.7% full-pipeline over sort on v5e
+# (50.6k vs 45.7k img/s, dispatch-floor-amortized bench A/B; an
+# earlier "parity" reading came from a harness whose per-variant cost
+# was dominated by the ~30 ms tunnel dispatch floor — see
+# docs/performance.md "measurement trap"). The quad path itself is
 # selected only when conv_precision == "pallas", i.e. on TPU.
 _QUAD_STATS = os.environ.get("METERELF_QUAD_STATS", "hist_pallas")
 
@@ -177,19 +182,31 @@ def _decode_batch(
             bits = window_bits_quads(
                 sw, disk_quad, pa.color_range, pa.hue_shift,
                 static_win_origin, static_centers)         # [B, W, 4W]
-            okey_q, conv_q = propagate_quads(bits, caps=ccl_caps)
+            fused_stats = _QUAD_STATS.startswith("fused")
+            okey_q, conv_q = propagate_quads(
+                bits, caps=ccl_caps, pack_closed=fused_stats)
 
             def dequad(x):
                 return (x.reshape(B, W, D, W).transpose(0, 2, 1, 3)
                         .reshape(B * D, W, W))
 
-            okey = dequad(okey_q)
-            masked_f = dequad((bits & 1) != 0)
-            closed_f = dequad(((bits >> 2) & 1) != 0)
-            comp = comp_ops._finalize(
-                okey, masked_f, closed_f, conv_q.reshape(B * D),
-                static_bbox=static_bbox, stats=_QUAD_STATS)
-            masked = masked_f.reshape(B, D, W, W)
+            if fused_stats:
+                # one dequad total: stats + angle gathers both consume
+                # the flat okey3 raster; contrib/region/masked planes
+                # never materialize
+                from ..ops import pallas_stats
+                okey_f = dequad(okey_q).reshape(B * D, W * W)
+                keymax, hasany_f = pallas_stats.stats_select_fused(
+                    okey_f,
+                    interpret=_QUAD_STATS.endswith("interpret"))
+                comp = None
+            else:
+                okey = dequad(okey_q)
+                masked_f = dequad((bits & 1) != 0)
+                closed_f = dequad(((bits >> 2) & 1) != 0)
+                comp = comp_ops._finalize(
+                    okey, masked_f, closed_f, conv_q.reshape(B * D),
+                    static_bbox=static_bbox, stats=_QUAD_STATS)
         else:
             # dial windows at STATIC offsets within the superwindow
             masked_l, closed_l = [], []
@@ -262,24 +279,46 @@ def _decode_batch(
             static_bbox=static_bbox,
             caps=ccl_caps,
         )
-    has_any = comp.has_any.reshape(B, D)
-    conv = comp.converged.reshape(B, D)
-    needle = comp.needle_region.reshape(B, D, W * W)
+    if comp is None:  # fused-stats quad path
+        has_any = hasany_f.reshape(B, D)
+        conv = conv_q
+        okey_r = okey_f.reshape(B, D, W * W)
+        keymax_r = keymax.reshape(B, D)
 
-    # stage C: angle statistics per window (masked f64 reductions)
-    per_dial = jax.vmap(  # over batch
-        lambda nr: jax.vmap(  # over dials
-            lambda i: angles_ops.read_dial(
-                nr[i],
-                pa.disk_idx[i], pa.disk_valid[i],
-                pa.disk_sx2[i], pa.disk_sy2[i],
-                pa.ann_idx[i], pa.ann_valid[i],
-                pa.ann_x[i], pa.ann_y[i], pa.ann_angle[i], pa.ann_sqd[i],
-                pa.neg_sign[i], pa.zero_turn[i],
-                sum_dtype=sum_dtype,
-            )
-        )(jnp.arange(D))
-    )(needle)
+        # stage C: angle statistics straight off the okey3 raster
+        per_dial = jax.vmap(  # over batch
+            lambda okb, kmb: jax.vmap(  # over dials
+                lambda i: angles_ops.read_dial_from_okey(
+                    okb[i], kmb[i],
+                    pa.disk_idx[i], pa.disk_valid[i],
+                    pa.disk_sx2[i], pa.disk_sy2[i],
+                    pa.ann_idx[i], pa.ann_valid[i],
+                    pa.ann_x[i], pa.ann_y[i],
+                    pa.ann_angle[i], pa.ann_sqd[i],
+                    pa.neg_sign[i], pa.zero_turn[i],
+                    sum_dtype=sum_dtype,
+                )
+            )(jnp.arange(D))
+        )(okey_r, keymax_r)
+    else:
+        has_any = comp.has_any.reshape(B, D)
+        conv = comp.converged.reshape(B, D)
+        needle = comp.needle_region.reshape(B, D, W * W)
+
+        # stage C: angle statistics per window (masked f64 reductions)
+        per_dial = jax.vmap(  # over batch
+            lambda nr: jax.vmap(  # over dials
+                lambda i: angles_ops.read_dial(
+                    nr[i],
+                    pa.disk_idx[i], pa.disk_valid[i],
+                    pa.disk_sx2[i], pa.disk_sy2[i],
+                    pa.ann_idx[i], pa.ann_valid[i],
+                    pa.ann_x[i], pa.ann_y[i], pa.ann_angle[i], pa.ann_sqd[i],
+                    pa.neg_sign[i], pa.zero_turn[i],
+                    sum_dtype=sum_dtype,
+                )
+            )(jnp.arange(D))
+        )(needle)
     readable, positions = per_dial.readable, per_dial.position  # [B, D]
 
     f = positions.dtype

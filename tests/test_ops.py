@@ -395,3 +395,121 @@ def test_static_center_promotion_guard(params1, monkeypatch):
     monkeypatch.setattr(type(params1), "arrays", lambda self: pa_bad)
     dec = MeterDecoder(params1)
     assert dec._static_kwargs["static_centers"] is None
+
+
+@pytest.mark.parametrize("density", [0.08, 0.3])
+def test_fused_stats_chain_matches_xla(density):
+    """The fused-stats quad chain (pack_closed okey3 -> in-kernel cell
+    contributions -> keymax/has_any -> region derived at read points)
+    must reproduce analyze_batch's needle_region/has_any/converged
+    bit-for-bit. Runs the Pallas kernels in interpret mode off-TPU."""
+    from meterelf_tpu.ops import pallas_stats
+    from meterelf_tpu.ops.pallas_ccl import propagate_quads
+
+    rng = np.random.default_rng(int(density * 7919))
+    W = 64
+    B = 9   # odd: exercises the pad-to-GQ path
+    K = 4 * B
+    yy, xx = np.mgrid[:W, :W]
+    disk = (yy - 32) ** 2 + (xx - 32) ** 2 <= 23 ** 2
+    closed = rng.random((K, W, W)) < density
+    for k in range(K // 2):  # half the windows get a real blob
+        cy, cx = rng.integers(16, 48, 2)
+        closed[k] |= ((yy - cy) ** 2 + (xx - cx) ** 2) <= 64
+    masked = closed & disk
+    diskb = np.broadcast_to(disk, (K, W, W)).copy()
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    interp = dev.platform != "tpu"
+
+    bits = (masked.astype(np.int32) + 2 * diskb.astype(np.int32)
+            + 4 * closed.astype(np.int32))
+    bits_q = (bits.reshape(B, 4, W, W).transpose(0, 2, 1, 3)
+              .reshape(B, W, 4 * W))
+    okey_q, conv_q = jax.jit(
+        functools.partial(propagate_quads, interpret=interp,
+                          pack_closed=True))(jnp.asarray(bits_q))
+    okey3 = np.asarray(
+        (jnp.asarray(okey_q).reshape(B, W, 4, W).transpose(0, 2, 1, 3)
+         .reshape(K, W, W)))
+    km, hasany = jax.jit(functools.partial(
+        pallas_stats.stats_select_fused, interpret=interp))(
+            jnp.asarray(okey3))
+    km, hasany = np.asarray(km), np.asarray(hasany)
+
+    # materialize the region exactly as angles.read_dial_from_okey does
+    owner = okey3 >> 3
+    closed_bit = (okey3 >> 2) & 1
+    valid = km >= 0
+    big = valid & ((km >> 12) > 200)
+    sel = np.where(valid, km & 4095, W * W)
+    region = np.where(big[:, None, None],
+                      owner == sel[:, None, None], closed_bit != 0)
+
+    ref = jax.jit(comp_ops.analyze_batch, static_argnames=("impl",))(
+        jnp.asarray(masked), jnp.asarray(closed), jnp.asarray(diskb),
+        impl="xla")
+    assert np.array_equal(region, np.asarray(ref.needle_region))
+    assert np.array_equal(hasany, np.asarray(ref.has_any))
+    assert np.array_equal(np.asarray(conv_q).reshape(K),
+                          np.asarray(ref.converged))
+
+
+def test_read_dial_from_okey_matches_read_dial(params1):
+    """Gather-point region derivation == materialized-region read_dial
+    on every dial geometry, including no-candidate and small-blob
+    windows (closed-mask fallback)."""
+    from meterelf_tpu.ops import angles as angles_ops
+
+    pa = params1.arrays()
+    rng = np.random.default_rng(42)
+    W = 64
+    N = W * W
+    yy, xx = np.mgrid[:W, :W]
+
+    for case in range(8):
+        d = case % 4
+        closed = rng.random((W, W)) < 0.15
+        if case < 6:  # real needle blob in most cases
+            cy, cx = rng.integers(20, 44, 2)
+            closed |= ((yy - cy) ** 2 + (xx - cx) ** 2) <= (
+                100 if case < 4 else 16)  # small blob: area <= 100 branch
+        disk = np.asarray(pa.mask_full[d])
+        masked = closed & disk
+
+        comp = jax.jit(comp_ops.analyze_batch, static_argnames=("impl",))(
+            jnp.asarray(masked[None]), jnp.asarray(closed[None]),
+            jnp.asarray(disk[None]), impl="xla")
+        region = np.asarray(comp.needle_region[0])
+
+        # synthesize okey3 + keymax for the same window from XLA pieces
+        okey, _ = comp_ops._propagate_xla(
+            jnp.asarray(masked[None]), jnp.asarray(disk[None]))
+        okey = np.asarray(okey[0])
+        okey3 = ((okey >> 2) * 8 + closed.astype(np.int32) * 4
+                 + (okey & 3))
+        contrib = np.asarray(comp_ops._cell_contrib(
+            jnp.asarray((okey >> 2)[None]), N)[0])
+        owner = okey >> 2
+        cand = np.unique(owner[(okey & 1) != 0])
+        if cand.size:
+            a2 = np.asarray(
+                [contrib[owner == o].sum() for o in cand])
+            kk = a2 * 4096 + cand
+            km = np.int32(kk.max())
+        else:
+            km = np.int32(-1)
+
+        args = (pa.disk_idx[d], pa.disk_valid[d],
+                pa.disk_sx2[d], pa.disk_sy2[d],
+                pa.ann_idx[d], pa.ann_valid[d],
+                pa.ann_x[d], pa.ann_y[d],
+                pa.ann_angle[d], pa.ann_sqd[d],
+                pa.neg_sign[d], pa.zero_turn[d])
+        r_ref = jax.jit(angles_ops.read_dial)(
+            jnp.asarray(region.reshape(N)), *map(jnp.asarray, args))
+        r_ok = jax.jit(angles_ops.read_dial_from_okey)(
+            jnp.asarray(okey3.reshape(N)), jnp.asarray(km),
+            *map(jnp.asarray, args))
+        assert bool(r_ref.readable) == bool(r_ok.readable), case
+        assert float(r_ref.position) == float(r_ok.position), case
