@@ -90,25 +90,39 @@ def _seg_or_sweep(v, rids, S, sub, lane):
 
 
 def _make_rids(wall, S, sub, lane):
-    """Blocked cumsum of the wall indicator in all four directions."""
+    """Run ids for all four directions from TWO blocked cumsums.
+
+    A valid rid only needs (a) constancy within each non-wall run and
+    (b) strict monotone increase across runs IN SCAN ORDER — the sweeps
+    use it purely as a segment offset. The forward prefix-sum of the
+    wall indicator satisfies both forward; its NEGATION satisfies both
+    in the reverse scan (crossing a wall while the index decreases
+    lowers the forward count, so -fwd rises). This halves the rid
+    prologue from 24 blocked-scan steps to 12."""
     w = wall.astype(jnp.int32)
+    fr = _blk_scan(w, 1, False, jnp.add, S, sub, lane)
+    fc = _blk_scan(w, 0, False, jnp.add, S, sub, lane)
     return [
-        ((1, False), _blk_scan(w, 1, False, jnp.add, S, sub, lane)),
-        ((1, True), _blk_scan(w, 1, True, jnp.add, S, sub, lane)),
-        ((0, False), _blk_scan(w, 0, False, jnp.add, S, sub, lane)),
-        ((0, True), _blk_scan(w, 0, True, jnp.add, S, sub, lane)),
+        ((1, False), fr),
+        ((1, True), -fr),
+        ((0, False), fc),
+        ((0, True), -fc),
     ]
 
 
 def _complement_rids(rids, sub, lane):
     """Run-ids against the COMPLEMENT wall set, derived per direction
     from the identity sum(1-w) = count - sum(w): four subtractions from
-    iotas instead of another 24 blocked-scan steps."""
+    iotas instead of another 12 blocked-scan steps. Forward entries
+    hold fwd complement counts; reverse entries hold their negation
+    (rid_in = -fwd, so -(idx+1) - rid_in = -(idx+1 - fwd))."""
     out = []
     for (axis, reverse), rid in rids:
         idx = lane if axis == 1 else sub
-        n = (jnp.int32(W) - idx) if reverse else (idx + jnp.int32(1))
-        out.append(((axis, reverse), n - rid))
+        if reverse:
+            out.append(((axis, reverse), -(idx + jnp.int32(1)) - rid))
+        else:
+            out.append(((axis, reverse), idx + jnp.int32(1) - rid))
     return out
 
 
