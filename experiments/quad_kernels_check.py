@@ -65,6 +65,33 @@ def check(params, sw_np, tag):
           " conv equal:",
           np.array_equal(np.asarray(conv_p).reshape(B, D), np.asarray(conv_q)))
 
+    # fused-stats chain (pack_closed okey3 -> in-kernel contrib ->
+    # keymax/has_any -> gather-point region) vs analyze_batch
+    import functools
+    from meterelf_tpu.ops import components as comp_ops
+    from meterelf_tpu.ops import pallas_stats as ps
+    ck = c_q.reshape(B * D, W, W)
+    okey3_q, conv3_q = jax.jit(functools.partial(
+        pc.propagate_quads, pack_closed=True))(bits)
+    o3 = (np.asarray(okey3_q).reshape(B, W, D, W)
+          .transpose(0, 2, 1, 3).reshape(B * D, W, W))
+    km, hasany = map(np.asarray, jax.jit(ps.stats_select_fused)(
+        jnp.asarray(o3)))
+    owner = o3 >> 3
+    closed_bit = (o3 >> 2) & 1
+    big = (km >= 0) & ((km >> 12) > 200)
+    sel = np.where(km >= 0, km & 4095, W * W)
+    region = np.where(big[:, None, None],
+                      owner == sel[:, None, None], closed_bit != 0)
+    ref = jax.jit(comp_ops.analyze_batch, static_argnames=("impl",))(
+        jnp.asarray(mk), jnp.asarray(ck), jnp.asarray(dk), impl="xla")
+    print(tag, "fused region equal:",
+          np.array_equal(region, np.asarray(ref.needle_region)),
+          " fused hasany equal:",
+          np.array_equal(hasany, np.asarray(ref.has_any)),
+          " fused conv equal:",
+          np.array_equal(np.asarray(conv3_q), np.asarray(conv_q)))
+
 # real corpus superwindows via the frontend kernel
 S1 = "/root/reference/sample-images1"
 params = Params.load(f"{S1}/params.yml")

@@ -36,6 +36,8 @@ u16-sort stage -> 0.19 ms for this kernel end-to-end.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -44,7 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 W = 64
 N = W * W        # labels are flat window indices; N = CCL sentinel
-GW = 8           # windows per program (i32 sublane tile)
+GW = int(os.environ.get("METERELF_STATS_GW", "8"))
+                 # windows per program (i32 sublane tile; >= 8).
+                 # Env override is for perf experiments only.
 
 
 def _stats_kernel(okey_ref, contrib_ref, out_ref):

@@ -376,7 +376,7 @@ def test_quad_kernels_match_xla_on_tpu():
         capture_output=True, text=True, timeout=560, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     out = r.stdout
-    assert out.count("equal: True") >= 8 and "False" not in out, out
+    assert out.count("equal: True") >= 14 and "False" not in out, out
 
 
 def test_static_center_promotion_guard(params1, monkeypatch):
