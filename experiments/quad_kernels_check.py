@@ -111,3 +111,27 @@ swr = (rng.integers(0, 256, (64, 136, 256)).astype(np.int32)
        | (rng.integers(0, 256, (64, 136, 256)).astype(np.int32) << 8)
        | (rng.integers(0, 256, (64, 136, 256)).astype(np.int32) << 16))
 check(params, swr, "random :")
+
+# merged frontend+windows kernel vs the split composition on the corpus
+from meterelf_tpu.ops.pallas_frontend import frontend_windows_pallas
+from meterelf_tpu.ops import pallas_windows as pw
+origins = tuple((int(x), int(y)) for x, y in np.asarray(pa.win_origin))
+centers = tuple((int(x), int(y)) for x, y in np.asarray(pa.centers_int))
+disk_quad = jnp.asarray(np.concatenate(
+    [np.asarray(pa.mask_full[i]).astype(np.int32) for i in range(D)],
+    axis=1))
+mv1, mx1, my1, sw1 = jax.jit(lambda p: frontend_pallas(
+    p, jnp.asarray(pa.template_u8), tmean))(jax.device_put(packed))
+bits1 = jax.jit(lambda s: pw.window_bits_quads(
+    s, disk_quad, jnp.asarray(pa.color_range), pa.hue_shift,
+    origins, centers))(sw1)
+mv2, mx2, my2, bits2 = jax.jit(lambda p: frontend_windows_pallas(
+    p, jnp.asarray(pa.template_u8), tmean, disk_quad,
+    jnp.asarray(pa.color_range), pa.hue_shift, origins, centers))(
+        jax.device_put(packed))
+print("merged : stat equal:",
+      (np.array_equal(np.asarray(mv1), np.asarray(mv2))
+       and np.array_equal(np.asarray(mx1), np.asarray(mx2))
+       and np.array_equal(np.asarray(my1), np.asarray(my2))),
+      " bits equal:",
+      np.array_equal(np.asarray(bits1), np.asarray(bits2)))

@@ -95,6 +95,23 @@ def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref,
     stat_ref[...] = _stat_tile(max_val, mx, my)
 
 
+def _frontend_windows_kernel(img_ref, bank_ref, c1_ref, disk_ref, cr_ref,
+                             hs_ref, bits_ref, stat_ref, corr_ref, *,
+                             origins, centers, div_impl):
+    """Merged frontend+windows kernel: the superwindow never leaves
+    VMEM — the window-mask stage (ops/pallas_windows.bits_from_sw) runs
+    on the in-register superwindow value, so its [SW_H, SW_W] i32 HBM
+    write+read and the separate dispatch disappear. Output is the
+    packed window-bit quad the CCL kernel consumes directly."""
+    from .pallas_windows import bits_from_sw
+    max_val, mx, my, sw = _frontend_core(img_ref, bank_ref, c1_ref,
+                                         corr_ref)
+    bits_ref[...] = bits_from_sw(
+        sw, disk_ref[...], cr_ref, hs_ref[0],
+        origins=origins, centers=centers, div_impl=div_impl)
+    stat_ref[...] = _stat_tile(max_val, mx, my)
+
+
 def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref):
     """Shared scorer body -> (max_val, mx, my, superwindow VALUE)."""
     i32 = jnp.int32
@@ -221,14 +238,7 @@ def frontend_pallas(
         img_pad = jnp.zeros((B, 256, 256), jnp.int32)
         img_pad = img_pad.at[:, :H, :W].set(packed_img)
         img_pad = img_pad.reshape(B * 256, 256)
-    tmean32 = jnp.asarray(template_mean, jnp.float32)
-    # c0: the residual left by using the f32-rounded tmean instead of
-    # the exact rational Tsum/N (module docstring item 3), in f64
-    tsum64 = jnp.sum(template_u8.astype(jnp.float64))
-    c0 = (jnp.float64(128.0)
-          * (tsum64 - jnp.float64(th * tw) * tmean32.astype(jnp.float64))
-          ).astype(jnp.float32)
-    c1 = jnp.stack([jnp.float32(128.0) - tmean32, c0])
+    c1 = _c1_for(template_u8, template_mean)
 
     with jax.enable_x64(False):
         bank = _template_bank(template_u8)
@@ -262,4 +272,101 @@ def frontend_pallas(
     mx = stat[:, 0, 1].astype(jnp.int32)
     my = stat[:, 0, 2].astype(jnp.int32)
     return max_val, mx, my, sw
+
+
+def _c1_for(template_u8: jnp.ndarray, template_mean) -> jnp.ndarray:
+    """(128 - tmean, c0 residual) — see the module docstring, item 3."""
+    th, tw = template_u8.shape
+    tmean32 = jnp.asarray(template_mean, jnp.float32)
+    tsum64 = jnp.sum(template_u8.astype(jnp.float64))
+    c0 = (jnp.float64(128.0)
+          * (tsum64 - jnp.float64(th * tw) * tmean32.astype(jnp.float64))
+          ).astype(jnp.float32)
+    return jnp.stack([jnp.float32(128.0) - tmean32, c0])
+
+
+def frontend_windows_pallas(
+    packed_img: jnp.ndarray,    # [B, H, W] i32 packed BGR
+    template_u8: jnp.ndarray,   # [th, tw]
+    template_mean,              # f32 scalar (Tsum / (th*tw))
+    disk_quad: jnp.ndarray,     # [64, 256] i32 static disk quad (0/1)
+    color_range: jnp.ndarray,   # [D<=8, 3] i32
+    hue_shift,
+    origins,                    # ((ox, oy) per dial), python ints
+    centers,                    # ((cx, cy) per dial), python ints
+    interpret: bool = False,
+):
+    """Merged frontend+windows call: -> (max_val [B] f32, mx [B] i32,
+    my [B] i32, bits [B, 64, 256] i32 packed window-mask quad — the
+    propagate_quads input). The superwindow stays in VMEM."""
+    import contextlib
+    import functools
+
+    B, H, W = packed_img.shape
+    th, tw = template_u8.shape
+    assert ((H, W) in ((250, 250), (256, 256), (H_PAD, W_PAD))
+            and (th, tw) == (TH, TW)), (
+        "pallas frontend is specialized to the meterelf shape family")
+    D = len(origins)
+    assert D * 64 == 256, "merged kernel is specialized to 4 dials"
+
+    if (H, W) == (256, 256):
+        img_pad = packed_img.reshape(B * 256, 256)
+    elif (H, W) == (H_PAD, W_PAD):
+        img_pad = packed_img[:, :256, :256].reshape(B * 256, 256)
+    else:
+        img_pad = jnp.zeros((B, 256, 256), jnp.int32)
+        img_pad = img_pad.at[:, :H, :W].set(packed_img)
+        img_pad = img_pad.reshape(B * 256, 256)
+    c1 = _c1_for(template_u8, template_mean)
+
+    cr = jnp.zeros((8, 128), jnp.int32)
+    cr = cr.at[:D, :3].set(color_range.astype(jnp.int32))
+    hs = jnp.asarray(hue_shift, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _frontend_windows_kernel,
+        origins=tuple((int(x), int(y)) for x, y in origins),
+        centers=tuple((int(x), int(y)) for x, y in centers),
+        div_impl="f64" if interpret else "dekker")
+
+    ctx = (contextlib.nullcontext() if interpret    # f64 div needs x64
+           else jax.enable_x64(False))
+    with ctx:
+        bank = _template_bank(template_u8)
+        bits, stat = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((B * 64, 256), jnp.int32),
+                jax.ShapeDtypeStruct((B * 8, 128), jnp.float32),
+            ),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((256, 256), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BANK_M, BANK_K), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((64, 256), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((64, 256), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((64, 256), jnp.int32)],
+            interpret=interpret,
+        )(img_pad, bank, c1, disk_quad, cr, hs)
+
+    bits = bits.reshape(B, 64, 256)
+    stat = stat.reshape(B, 8, 128)
+    max_val = stat[:, 0, 0]
+    mx = stat[:, 0, 1].astype(jnp.int32)
+    my = stat[:, 0, 2].astype(jnp.int32)
+    return max_val, mx, my, bits
 

@@ -57,6 +57,12 @@ from ..ops import template as template_ops
 # selected only when conv_precision == "pallas", i.e. on TPU.
 _QUAD_STATS = os.environ.get("METERELF_QUAD_STATS", "hist_pallas")
 
+# frontend/windows composition for the quad path: "split" (separate
+# frontend and window-mask kernels, superwindow round-trips HBM) or
+# "merged" (ops/pallas_frontend.frontend_windows_pallas: the windows
+# stage runs on the in-VMEM superwindow value). Perf A/B knob.
+_FRONTEND = os.environ.get("METERELF_FRONTEND", "split")
+
 
 class BatchResult(NamedTuple):
     err: jnp.ndarray              # [B] i32 ErrCode
@@ -165,23 +171,32 @@ def _decode_batch(
         use_frontend and D == 4 and static_centers is not None)
 
     if use_frontend:
-        # fused Pallas frontend: packed image -> scores+argmax+superwindow
-        from ..ops.pallas_frontend import frontend_pallas
-        max_val, mx, my, sw = frontend_pallas(packed, pa.template_u8, tmean)
-
         if use_quad_kernels:
             # fused window-mask kernel (full-lane quad layout) + quad CCL:
             # replaces the XLA per-dial window stage AND the pair-packed
             # propagation staging (ops/pallas_windows.py)
-            from ..ops.pallas_windows import window_bits_quads
             from ..ops.pallas_ccl import propagate_quads
 
             disk_quad = jnp.concatenate(
                 [pa.mask_full[i].astype(jnp.int32) for i in range(D)],
                 axis=1)                                    # [W, 4W]
-            bits = window_bits_quads(
-                sw, disk_quad, pa.color_range, pa.hue_shift,
-                static_win_origin, static_centers)         # [B, W, 4W]
+            if _FRONTEND == "merged":
+                # superwindow never leaves VMEM: the windows stage runs
+                # inside the frontend kernel (pallas_frontend
+                # frontend_windows_pallas)
+                from ..ops.pallas_frontend import frontend_windows_pallas
+                max_val, mx, my, bits = frontend_windows_pallas(
+                    packed, pa.template_u8, tmean, disk_quad,
+                    pa.color_range, pa.hue_shift,
+                    static_win_origin, static_centers)     # [B, W, 4W]
+            else:
+                from ..ops.pallas_frontend import frontend_pallas
+                from ..ops.pallas_windows import window_bits_quads
+                max_val, mx, my, sw = frontend_pallas(
+                    packed, pa.template_u8, tmean)
+                bits = window_bits_quads(
+                    sw, disk_quad, pa.color_range, pa.hue_shift,
+                    static_win_origin, static_centers)     # [B, W, 4W]
             fused_stats = _QUAD_STATS.startswith("fused")
             okey_q, conv_q = propagate_quads(
                 bits, caps=ccl_caps, pack_closed=fused_stats)
@@ -209,6 +224,9 @@ def _decode_batch(
                     static_bbox=static_bbox, stats=_QUAD_STATS)
         else:
             # dial windows at STATIC offsets within the superwindow
+            from ..ops.pallas_frontend import frontend_pallas
+            max_val, mx, my, sw = frontend_pallas(
+                packed, pa.template_u8, tmean)
             masked_l, closed_l = [], []
             for i in range(D):
                 ox, oy = static_win_origin[i]

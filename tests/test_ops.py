@@ -376,7 +376,7 @@ def test_quad_kernels_match_xla_on_tpu():
         capture_output=True, text=True, timeout=560, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     out = r.stdout
-    assert out.count("equal: True") >= 14 and "False" not in out, out
+    assert out.count("equal: True") >= 16 and "False" not in out, out
 
 
 def test_static_center_promotion_guard(params1, monkeypatch):
@@ -513,3 +513,61 @@ def test_read_dial_from_okey_matches_read_dial(params1):
             *map(jnp.asarray, args))
         assert bool(r_ref.readable) == bool(r_ok.readable), case
         assert float(r_ref.position) == float(r_ok.position), case
+
+
+def test_merged_frontend_windows_matches_split():
+    """frontend_windows_pallas (superwindow stays in VMEM) must equal
+    the frontend_pallas + window_bits_quads composition bit-for-bit:
+    same argmax/score and same packed window-bit quad."""
+    import os
+
+    from meterelf_tpu import synthetic
+    from meterelf_tpu.ops import pallas_frontend as fe
+    from meterelf_tpu.ops import pallas_windows as pw
+    from meterelf_tpu.params import Params
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    interpret = dev.platform != "tpu"
+    if interpret and not os.environ.get("METERELF_FULL_GOLDEN"):
+        pytest.skip("interpret-mode compile of the 64-column kernel takes "
+                    "minutes on CPU: set METERELF_FULL_GOLDEN=1 (runs "
+                    "always on TPU)")
+
+    import tempfile
+    params = synthetic.make_params(tempfile.mkdtemp())
+    pa = params.arrays()
+    origins = tuple((int(x), int(y)) for x, y in np.asarray(pa.win_origin))
+    centers = tuple((int(x), int(y)) for x, y in np.asarray(pa.centers_int))
+    crops = synthetic.render_crops([[1.0, 3.5, 7.2, 9.9],
+                                    [0.0, 2.2, 5.5, 8.8]])
+    c32 = crops.astype(np.int64)
+    packed = (c32[..., 0] | (c32[..., 1] << 8)
+              | (c32[..., 2] << 16)).astype(np.int32)
+    tmpl = np.asarray(pa.template_u8)
+    tmean = np.float32(np.float64(tmpl.astype(np.int64).sum()) / tmpl.size)
+    disk_quad = jnp.asarray(np.concatenate(
+        [np.asarray(pa.mask_full[i]).astype(np.int32) for i in range(4)],
+        axis=1))
+
+    prev_dev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", None)
+    try:
+        mv, mx, my, sw = jax.tree.map(np.asarray, jax.jit(
+            functools.partial(fe.frontend_pallas, interpret=interpret))(
+                jnp.asarray(packed), jnp.asarray(tmpl), tmean))
+        bits_split = np.asarray(jax.jit(functools.partial(
+            pw.window_bits_quads, interpret=interpret))(
+                jnp.asarray(sw), disk_quad, jnp.asarray(pa.color_range),
+                pa.hue_shift, origins, centers))
+        mv2, mx2, my2, bits_m = jax.tree.map(np.asarray, jax.jit(
+            functools.partial(fe.frontend_windows_pallas,
+                              interpret=interpret))(
+                jnp.asarray(packed), jnp.asarray(tmpl), tmean, disk_quad,
+                jnp.asarray(pa.color_range), pa.hue_shift,
+                origins, centers))
+    finally:
+        jax.config.update("jax_default_device", prev_dev)
+
+    assert np.array_equal(mv, mv2)
+    assert np.array_equal(mx, mx2) and np.array_equal(my, my2)
+    assert np.array_equal(bits_split, bits_m)
