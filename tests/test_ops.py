@@ -397,7 +397,7 @@ def test_static_center_promotion_guard(params1, monkeypatch):
     assert dec._static_kwargs["static_centers"] is None
 
 
-@pytest.mark.parametrize("density", [0.08, 0.3])
+@pytest.mark.parametrize("density", [0.08, 0.3, 0.55])
 def test_fused_stats_chain_matches_xla(density):
     """The fused-stats quad chain (pack_closed okey3 -> in-kernel cell
     contributions -> keymax/has_any -> region derived at read points)
