@@ -2,23 +2,43 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh: multi-chip sharding is
 # validated without TPU hardware (the driver separately dry-runs the
-# multichip path; bench.py runs on the real chip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# multichip path; bench.py runs on the real chip). The ambient session
+# env points jax at the tunneled TPU (JAX_PLATFORMS=axon plus a PJRT
+# plugin injected via PYTHONPATH sitecustomize); when that tunnel is
+# wedged, ANY backend init — even jax.devices("cpu") — hangs for
+# minutes. Tests are CPU-by-design, so force the platform, strip the
+# plugin from children's PYTHONPATH, and deregister its already-loaded
+# backend factory before the first backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
+    )
+if ".axon_site" in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in os.environ["PYTHONPATH"].split(os.pathsep)
+        if ".axon_site" not in p
     )
 
 os.environ.setdefault("METERELF_BATCH_SIZE", "8")  # small batches: fast compile
 
 import jax  # noqa: E402
 
+try:  # this process already ran the plugin's sitecustomize; unhook it
+    from jax._src import xla_bridge as _xb  # noqa: E402
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+# sitecustomize imports jax itself and pins jax_platforms in config,
+# which shadows the env var — override the config value as well.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)
 
-# The axon TPU plugin ignores JAX_PLATFORMS; pin the default device to the
-# (virtual 8-way) CPU backend explicitly so tests never contend for the
-# real chip.
+# Pin the default device to the (virtual 8-way) CPU backend explicitly
+# so tests never contend for the real chip.
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
