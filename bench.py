@@ -41,7 +41,37 @@ SAMPLE1 = "/root/reference/sample-images1"
 GOLDEN1 = "/root/reference/integration-tests/test_all_sample_images.expected_stdout"
 
 
+def probe_backend(attempts: int = 3, timeout_s: int = 120) -> None:
+    """Fail fast (exit 2) when the JAX backend cannot initialize.
+
+    Over the axon tunnel a wedged pool service makes ANY backend init
+    hang indefinitely inside PJRT client creation — an un-killable state
+    the driver would otherwise sit on for its whole timeout. Probe in a
+    subprocess (the hang is not interruptible in-process), retry a few
+    times (the remote compile/pool service occasionally drops one
+    request), and exit with a clear message if the backend never comes
+    up. Skippable via METERELF_BENCH_NO_PROBE=1."""
+    if os.environ.get("METERELF_BENCH_NO_PROBE"):
+        return
+    import subprocess
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if i + 1 < attempts:
+                time.sleep(5)
+    print("bench: JAX backend failed to initialize after "
+          f"{attempts} probes x {timeout_s}s — TPU tunnel down/wedged; "
+          "no number reported", file=sys.stderr)
+    sys.exit(2)
+
+
 def main() -> None:
+    probe_backend()
     import jax
     from meterelf_tpu.params import Params
     from meterelf_tpu.pipeline.decode import MeterDecoder
