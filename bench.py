@@ -54,19 +54,26 @@ def probe_backend(attempts: int = 3, timeout_s: int = 120) -> None:
     if os.environ.get("METERELF_BENCH_NO_PROBE"):
         return
     import subprocess
+    last = ""
     for i in range(attempts):
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 timeout=timeout_s, check=True,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
             return
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            if i + 1 < attempts:
-                time.sleep(5)
-    print("bench: JAX backend failed to initialize after "
-          f"{attempts} probes x {timeout_s}s — TPU tunnel down/wedged; "
-          "no number reported", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {timeout_s}s (hung backend init)"
+        except subprocess.CalledProcessError as e:
+            # a fast nonzero exit is a deterministic install/config
+            # error, not tunnel weather — report it without retrying
+            last = (e.stderr or b"").decode(errors="replace").strip()
+            break
+        if i + 1 < attempts:
+            time.sleep(5)
+    print("bench: JAX backend failed to initialize "
+          f"(up to {attempts} probes x {timeout_s}s); last failure:\n"
+          f"{last or '(no stderr)'}\nno number reported", file=sys.stderr)
     sys.exit(2)
 
 

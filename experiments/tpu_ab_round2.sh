@@ -6,6 +6,12 @@
 set -x
 cd /root/repo
 
+# The watcher only launches this once jax.devices() already succeeded;
+# skip bench.py's own per-run backend probe (each one is a full
+# tunnel init that would eat into the 600s-per-step budget).
+METERELF_BENCH_NO_PROBE=1
+export METERELF_BENCH_NO_PROBE
+
 echo "=== 1. quad kernels bit-parity (incl. fused chain + merged) ==="
 timeout 600 python experiments/quad_kernels_check.py
 
