@@ -101,9 +101,9 @@ crops, ok = jio.load_crops(files, params.meter_rect)
 packed = jio.pack_crops(crops, pad_hw=(H_PAD, W_PAD))
 tsum = int(np.asarray(pa.template_u8).astype(np.int64).sum())
 tmean = np.float32(tsum / pa.template_zm.size)
-_, _, _, sw = jax.jit(lambda p: frontend_pallas(
+mv1, mx1, my1, sw1 = jax.jit(lambda p: frontend_pallas(
     p, jnp.asarray(pa.template_u8), tmean))(jax.device_put(packed))
-check(params, np.asarray(sw), "corpus1:")
+check(params, np.asarray(sw1), "corpus1:")
 
 # random superwindows
 rng = np.random.default_rng(0)
@@ -120,8 +120,6 @@ centers = tuple((int(x), int(y)) for x, y in np.asarray(pa.centers_int))
 disk_quad = jnp.asarray(np.concatenate(
     [np.asarray(pa.mask_full[i]).astype(np.int32) for i in range(D)],
     axis=1))
-mv1, mx1, my1, sw1 = jax.jit(lambda p: frontend_pallas(
-    p, jnp.asarray(pa.template_u8), tmean))(jax.device_put(packed))
 bits1 = jax.jit(lambda s: pw.window_bits_quads(
     s, disk_quad, jnp.asarray(pa.color_range), pa.hue_shift,
     origins, centers))(sw1)

@@ -13,7 +13,9 @@ METERELF_BENCH_NO_PROBE=1
 export METERELF_BENCH_NO_PROBE
 
 echo "=== 1. quad kernels bit-parity (incl. fused chain + merged) ==="
-timeout 600 python experiments/quad_kernels_check.py
+timeout 1200 python experiments/quad_kernels_check.py \
+    || { echo "PARITY CHECK FAILED — not benching a bit-broken path"; \
+         exit 1; }
 
 echo "=== 2. bench baseline (hist_pallas, split) ==="
 timeout 600 python bench.py

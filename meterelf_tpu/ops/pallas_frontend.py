@@ -216,6 +216,24 @@ def _template_bank(template_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)
 
 
+def _stage_img(packed_img: jnp.ndarray,
+               template_u8: jnp.ndarray) -> jnp.ndarray:
+    """Stage a [B, H, W] packed-BGR batch to the kernels' canonical
+    [B*256, 256] VMEM block layout (shared by frontend_pallas and
+    frontend_windows_pallas — keep the accepted geometries in sync)."""
+    B, H, W = packed_img.shape
+    assert ((H, W) in ((250, 250), (256, 256), (H_PAD, W_PAD))
+            and tuple(template_u8.shape) == (TH, TW)), (
+        "pallas frontend is specialized to the meterelf shape family")
+    if (H, W) == (256, 256):         # host staged the canonical shape
+        return packed_img.reshape(B * 256, 256)
+    if (H, W) == (H_PAD, W_PAD):     # legacy padded geometry
+        return packed_img[:, :256, :256].reshape(B * 256, 256)
+    img_pad = jnp.zeros((B, 256, 256), jnp.int32)
+    img_pad = img_pad.at[:, :H, :W].set(packed_img)
+    return img_pad.reshape(B * 256, 256)
+
+
 def frontend_pallas(
     packed_img: jnp.ndarray,    # [B, H, W] i32 packed BGR
     template_u8: jnp.ndarray,   # [th, tw]
@@ -224,20 +242,8 @@ def frontend_pallas(
 ):
     """-> (max_val [B] f32, mx [B] i32, my [B] i32,
            superwindow [B, SW_H, SW_W] i32 packed BGR at (my, mx))."""
-    B, H, W = packed_img.shape
-    th, tw = template_u8.shape
-    assert ((H, W) in ((250, 250), (256, 256), (H_PAD, W_PAD))
-            and (th, tw) == (TH, TW)), (
-        "pallas frontend is specialized to the meterelf shape family")
-
-    if (H, W) == (256, 256):         # host staged the canonical shape
-        img_pad = packed_img.reshape(B * 256, 256)
-    elif (H, W) == (H_PAD, W_PAD):   # legacy padded geometry
-        img_pad = packed_img[:, :256, :256].reshape(B * 256, 256)
-    else:
-        img_pad = jnp.zeros((B, 256, 256), jnp.int32)
-        img_pad = img_pad.at[:, :H, :W].set(packed_img)
-        img_pad = img_pad.reshape(B * 256, 256)
+    B = packed_img.shape[0]
+    img_pad = _stage_img(packed_img, template_u8)
     c1 = _c1_for(template_u8, template_mean)
 
     with jax.enable_x64(False):
@@ -302,22 +308,10 @@ def frontend_windows_pallas(
     import contextlib
     import functools
 
-    B, H, W = packed_img.shape
-    th, tw = template_u8.shape
-    assert ((H, W) in ((250, 250), (256, 256), (H_PAD, W_PAD))
-            and (th, tw) == (TH, TW)), (
-        "pallas frontend is specialized to the meterelf shape family")
+    B = packed_img.shape[0]
     D = len(origins)
     assert D * 64 == 256, "merged kernel is specialized to 4 dials"
-
-    if (H, W) == (256, 256):
-        img_pad = packed_img.reshape(B * 256, 256)
-    elif (H, W) == (H_PAD, W_PAD):
-        img_pad = packed_img[:, :256, :256].reshape(B * 256, 256)
-    else:
-        img_pad = jnp.zeros((B, 256, 256), jnp.int32)
-        img_pad = img_pad.at[:, :H, :W].set(packed_img)
-        img_pad = img_pad.reshape(B * 256, 256)
+    img_pad = _stage_img(packed_img, template_u8)
     c1 = _c1_for(template_u8, template_mean)
 
     cr = jnp.zeros((8, 128), jnp.int32)

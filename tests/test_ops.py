@@ -373,7 +373,7 @@ def test_quad_kernels_match_xla_on_tpu():
     import sys
     r = subprocess.run(
         [sys.executable, "experiments/quad_kernels_check.py"],
-        capture_output=True, text=True, timeout=560, cwd="/root/repo")
+        capture_output=True, text=True, timeout=1140, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     out = r.stdout
     assert out.count("equal: True") >= 16 and "False" not in out, out
@@ -555,16 +555,19 @@ def test_merged_frontend_windows_matches_split():
         mv, mx, my, sw = jax.tree.map(np.asarray, jax.jit(
             functools.partial(fe.frontend_pallas, interpret=interpret))(
                 jnp.asarray(packed), jnp.asarray(tmpl), tmean))
+        # origins/centers are static python-int geometry (the kernels
+        # call int() on them) — close over them, never trace them
         bits_split = np.asarray(jax.jit(functools.partial(
-            pw.window_bits_quads, interpret=interpret))(
+            pw.window_bits_quads, origins=origins, centers=centers,
+            interpret=interpret))(
                 jnp.asarray(sw), disk_quad, jnp.asarray(pa.color_range),
-                pa.hue_shift, origins, centers))
+                pa.hue_shift))
         mv2, mx2, my2, bits_m = jax.tree.map(np.asarray, jax.jit(
             functools.partial(fe.frontend_windows_pallas,
+                              origins=origins, centers=centers,
                               interpret=interpret))(
                 jnp.asarray(packed), jnp.asarray(tmpl), tmean, disk_quad,
-                jnp.asarray(pa.color_range), pa.hue_shift,
-                origins, centers))
+                jnp.asarray(pa.color_range), pa.hue_shift))
     finally:
         jax.config.update("jax_default_device", prev_dev)
 
