@@ -228,11 +228,13 @@ def end_to_end_rate(dec, params, files, frames: int = 2048):
         r = dec._fn(pa, packed, ok)
         return r.value.sum() + r.err.sum().astype(r.value.dtype)
 
+    n_threads = max(2, os.cpu_count() or 1)
+
     def run_pass():
         sums = []
         for chunk in chunks:
             crops, ok = jio.load_crop_bytes_u8(
-                chunk, params.meter_rect, num_threads=2)
+                chunk, params.meter_rect, num_threads=n_threads)
             sums.append(step(pa_dev, jax.device_put(crops),
                              jax.device_put(ok)))
         return sum(float(s) for s in sums)  # blocks on the device
