@@ -235,25 +235,31 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     recorded span); otherwise they fall back to wall-clock.
 
     METERELF_PROFILE=1 prints per-stage wall-clock timers (dispatch /
-    drain / rescue) to stderr when the stream ends.
+    drain / rescue) to stderr when the stream ends; `--trace DIR`
+    captures a jax.profiler device trace of the whole stream into DIR
+    (view with TensorBoard / xprof).
     """
     import os
     import sys
 
     args = list(sys.argv[1:] if argv is None else argv)
     repeat, batch = 1, 256
-    for flag, setter in (("--repeat", "repeat"), ("--batch", "batch")):
+    trace_dir: Optional[str] = None
+    for flag in ("--repeat", "--batch", "--trace"):
         if flag in args:
             i = args.index(flag)
-            val = int(args[i + 1])
+            val = args[i + 1]
             del args[i:i + 2]
-            if setter == "repeat":
-                repeat = val
+            if flag == "--repeat":
+                repeat = int(val)
+            elif flag == "--batch":
+                batch = int(val)
             else:
-                batch = val
+                trace_dir = val
     if len(args) < 2:
         print("usage: python -m meterelf_tpu.stream PARAMS_FILE "
-              "IMAGE_FILE... [--repeat N] [--batch B]", file=sys.stderr)
+              "IMAGE_FILE... [--repeat N] [--batch B] [--trace DIR]",
+              file=sys.stderr)
         raise SystemExit(1)
     params = Params.load(args[0])
     base = list(replay_files(params, args[1:], repeat=1))
@@ -265,16 +271,21 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     frames = (fr for _r in range(repeat) for fr in base)
     timers = (StageTimers()
               if os.environ.get("METERELF_PROFILE") == "1" else None)
-    for rep in stream_decode(params, frames, batch_size=batch,
-                             timestamps=timestamps, timers=timers):
-        flow = "?" if rep.flow_lph is None else f"{rep.flow_lph:.3f}"
-        last = "?" if rep.last_value is None else f"{rep.last_value:07.3f}"
-        print(
-            f"frames={rep.frames_total} ok={rep.frames_ok} "
-            f"err={rep.frames_error} last={last} "
-            f"cum={rep.cumulative_liters:.3f}L flow={flow}L/h "
-            f"leak={'YES' if rep.leak_suspected else 'no'} "
-            f"rate={rep.images_per_sec:.0f}img/s", flush=True)
+    from .profiling import device_trace
+
+    with device_trace(trace_dir):
+        for rep in stream_decode(params, frames, batch_size=batch,
+                                 timestamps=timestamps, timers=timers):
+            flow = ("?" if rep.flow_lph is None
+                    else f"{rep.flow_lph:.3f}")
+            last = ("?" if rep.last_value is None
+                    else f"{rep.last_value:07.3f}")
+            print(
+                f"frames={rep.frames_total} ok={rep.frames_ok} "
+                f"err={rep.frames_error} last={last} "
+                f"cum={rep.cumulative_liters:.3f}L flow={flow}L/h "
+                f"leak={'YES' if rep.leak_suspected else 'no'} "
+                f"rate={rep.images_per_sec:.0f}img/s", flush=True)
     if timers is not None:
         print(timers.report(), file=sys.stderr)
 

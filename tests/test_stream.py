@@ -153,3 +153,23 @@ def test_stream_cli_on_sample_files(capsys):
     assert out, "no report lines printed"
     assert out[-1].startswith("frames=12 ")
     assert "rate=" in out[-1] and "leak=" in out[-1]
+
+
+def test_stream_cli_trace_flag(capsys, tmp_path):
+    """`--trace DIR` captures a jax.profiler device trace of the run."""
+    import os
+    from glob import glob
+    from meterelf_tpu import stream as stream_mod
+
+    files = sorted(glob("/root/reference/sample-images1/2018*.jpg"))[2:4]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    trace_dir = str(tmp_path / "trace")
+    stream_mod.main(
+        ["/root/reference/sample-images1/params.yml", *files,
+         "--batch", "8", "--trace", trace_dir])
+    assert capsys.readouterr().out.startswith("frames=2 ")
+    captured = [os.path.join(r, f)
+                for r, _d, fs in os.walk(trace_dir) for f in fs]
+    assert any(f.endswith((".xplane.pb", ".trace.json.gz"))
+               for f in captured), captured
