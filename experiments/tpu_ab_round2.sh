@@ -36,4 +36,11 @@ timeout 600 env METERELF_QUAD_STATS=fused METERELF_FRONTEND=merged \
 timeout 600 env METERELF_QUAD_STATS=fused METERELF_FRONTEND=merged \
     METERELF_BENCH_BATCH=512 python bench.py
 
+echo "=== 7. CCL/stats group-size sweep (floor-dominated in the old"
+echo "    bench; re-test with the amortized one) ==="
+timeout 600 env METERELF_CCL_GQ=4 python bench.py
+timeout 600 env METERELF_CCL_GQ=16 python bench.py
+timeout 600 env METERELF_STATS_GW=4 python bench.py
+timeout 600 env METERELF_STATS_GW=16 python bench.py
+
 echo "=== done ==="
