@@ -1,6 +1,7 @@
 """Kernel-level parity tests vs OpenCV semantics (the unit coverage the
 reference lacks; SURVEY.md §4 'implication for the TPU build')."""
 import functools
+import os
 
 import numpy as np
 import jax
@@ -201,6 +202,32 @@ def test_fused_matcher_matches_v1_plus_boxsum():
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
 
 
+def _isolated_interpret_run(test_name):
+    """Run one interpret-mode kernel test in a child pytest process.
+
+    XLA:CPU can crash (SIGSEGV) while COMPILING the giant unrolled
+    interpret graphs of the frontend kernels — an upstream compiler bug,
+    not a parity failure. In-process that kills the whole pytest run;
+    isolated, a compiler crash becomes a diagnosable skip while a real
+    parity failure still fails."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, METERELF_INTERPRET_INPROC="1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x",
+         f"tests/test_ops.py::{test_name}"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=1200)
+    if r.returncode < 0:
+        pytest.skip(
+            f"XLA:CPU crashed (signal {-r.returncode}) compiling the "
+            "interpret-mode kernel — known upstream compiler bug; this "
+            "parity is validated on TPU (test_quad_kernels_match_xla_on_"
+            "tpu / experiments/quad_kernels_check.py)")
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+
+
 def test_int8_frontend_kernel_exact():
     """The fused int8-MXU frontend (ops/pallas_frontend.py) must produce
     the argmax of the EXACT integer TM_CCOEFF decomposition, the exact
@@ -220,10 +247,13 @@ def test_int8_frontend_kernel_exact():
 
     dev = jax.config.jax_default_device or jax.devices()[0]
     interpret = dev.platform != "tpu"
-    if interpret and not os.environ.get("METERELF_FULL_GOLDEN"):
-        pytest.skip("interpret-mode compile of the 64-column kernel takes "
-                    "minutes on CPU: set METERELF_FULL_GOLDEN=1 (runs "
-                    "always on TPU)")
+    if interpret and not os.environ.get("METERELF_INTERPRET_INPROC"):
+        if not os.environ.get("METERELF_FULL_GOLDEN"):
+            pytest.skip("interpret-mode compile of the 64-column kernel "
+                        "takes minutes on CPU: set METERELF_FULL_GOLDEN=1 "
+                        "(runs always on TPU)")
+        _isolated_interpret_run("test_int8_frontend_kernel_exact")
+        return
 
     crops = synthetic.render_crops([[1.0, 3.5, 7.2, 9.9]])  # [1,250,250,3]
     tmpl = synthetic.make_template()                        # [119,188] u8
@@ -528,10 +558,13 @@ def test_merged_frontend_windows_matches_split():
 
     dev = jax.config.jax_default_device or jax.devices()[0]
     interpret = dev.platform != "tpu"
-    if interpret and not os.environ.get("METERELF_FULL_GOLDEN"):
-        pytest.skip("interpret-mode compile of the 64-column kernel takes "
-                    "minutes on CPU: set METERELF_FULL_GOLDEN=1 (runs "
-                    "always on TPU)")
+    if interpret and not os.environ.get("METERELF_INTERPRET_INPROC"):
+        if not os.environ.get("METERELF_FULL_GOLDEN"):
+            pytest.skip("interpret-mode compile of the 64-column kernel "
+                        "takes minutes on CPU: set METERELF_FULL_GOLDEN=1 "
+                        "(runs always on TPU)")
+        _isolated_interpret_run("test_merged_frontend_windows_matches_split")
+        return
 
     import tempfile
     params = synthetic.make_params(tempfile.mkdtemp())
