@@ -173,7 +173,8 @@ def bits_from_sw(sw, disk, cr_ref, hs, *, origins, centers,
                  div_impl="dekker"):
     """Pure-value window-mask body: [SW_H, SW_W] i32 superwindow (value)
     -> [W, QUAD_W] i32 packed bits. Factored out of the kernel body so
-    a future merged frontend+windows kernel can reuse it directly."""
+    the merged frontend+windows kernel (ops/pallas_frontend.py, the
+    METERELF_FRONTEND=merged path) reuses it directly."""
     i32 = jnp.int32
 
     # assemble the quad: 4 window slices side by side. Each window is
