@@ -88,10 +88,14 @@ def shard_host_batch(local_crops: np.ndarray, mesh: Mesh,
 
 def data_parallel_decoder(decoder, mesh: Mesh, axis: str = "data"):
     """Wrap a MeterDecoder so batches are sharded over the mesh's data
-    axis. Batch size must be divisible by the mesh size. Results come
-    back with the same batch-dim sharding (host gathers lazily).
-    Accepts host numpy batches or pre-sharded jax.Arrays from
-    `shard_host_batch`."""
+    axis. Global batch size must be divisible by the mesh size. Results
+    come back with the same batch-dim sharding (host gathers lazily).
+
+    Accepts pre-sharded jax.Arrays from `shard_host_batch`, or host
+    numpy batches holding this process's LOCAL slice (multi-process jit
+    rejects numpy args with non-trivial shardings, so they are lifted
+    via `shard_host_batch` here; single-process, local == global and
+    the behavior is unchanged)."""
     from ..pipeline.decode import _decode_batch
     import functools
 
@@ -114,8 +118,19 @@ def data_parallel_decoder(decoder, mesh: Mesh, axis: str = "data"):
     )
 
     def run(crops_u8, load_ok=None):
+        nproc = jax.process_count()
+        if isinstance(crops_u8, np.ndarray):
+            local_n = crops_u8.shape[0]
+            crops_u8 = shard_host_batch(crops_u8, mesh, axis)
+        else:  # global jax.Array, equal split across processes
+            local_n = crops_u8.shape[0] // nproc
         if load_ok is None:
-            load_ok = np.ones(crops_u8.shape[0], bool)
+            load_ok = np.ones(local_n, bool)
+        if isinstance(load_ok, np.ndarray):
+            assert load_ok.shape[0] == local_n, (
+                f"load_ok holds {load_ok.shape[0]} flags, expected the "
+                f"process-local batch of {local_n}")
+            load_ok = shard_host_batch(load_ok, mesh, axis)
         assert crops_u8.shape[0] % mesh.size == 0, (
             f"batch {crops_u8.shape[0]} not divisible by mesh size {mesh.size}")
         return fn(decoder.param_arrays, crops_u8, load_ok)
