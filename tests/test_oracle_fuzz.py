@@ -12,7 +12,6 @@ masks, near-threshold contour areas, and a second camera geometry
 (ALT_CAMERA) that runs the generic (non-fused) decode paths.
 """
 import os
-import sys
 
 import numpy as np
 import pytest
@@ -31,7 +30,6 @@ def oracle(request, tmp_path_factory):
     over one synthetic camera geometry."""
     import yaml
     from meterelf_tpu import synthetic
-    from meterelf_tpu.api import _host_hls
 
     camera = (synthetic.DEFAULT_CAMERA if request.param == "default"
               else synthetic.ALT_CAMERA)
@@ -43,63 +41,23 @@ def oracle(request, tmp_path_factory):
             camera.params_dict(os.path.join(d, "synthetic_template.png")),
             fp)
 
-    # ---- shims (reference runs as an oracle, never copied) ----
-    real_yaml_load = yaml.load
-    yaml.load = lambda stream, Loader=None: real_yaml_load(
-        stream, Loader=yaml.SafeLoader)
+    # shims live in tests/ref_shims.py (reference runs as an oracle,
+    # never copied)
+    from ref_shims import shimmed_reference
 
-    real_find_contours = cv2.findContours
+    with shimmed_reference() as ref:
+        r_image, r_reading = ref["_image"], ref["_reading"]
+        ref_params = ref["_params"].load(yml)
 
-    def find_contours3(*a, **k):
-        contours, hier = real_find_contours(*a, **k)
-        return (None, contours, hier)
+        def decode_frame(frame_bgr):
+            """-> (meter_values dict | None, error-class-name | None)"""
+            imgf = r_image.ImageFile("<fuzz>", ref_params, frame_bgr)
+            try:
+                return r_reading.get_meter_value(imgf), None
+            except Exception as exc:  # reference error taxonomy
+                return None, type(exc).__name__
 
-    cv2.findContours = find_contours3
-
-    real_find_non_zero = cv2.findNonZero
-
-    def find_non_zero_legacy(img):
-        r = real_find_non_zero(img)
-        if r is None or r.ndim == 3:
-            return r
-        return r.reshape(-1, 1, 2)
-
-    cv2.findNonZero = find_non_zero_legacy
-
-    real_cvt = cv2.cvtColor
-
-    def cvt_exact(img, code):
-        if code == cv2.COLOR_BGR2HLS_FULL:
-            # old-cv2 float-path exact conversion (the one the goldens
-            # embed; modern cv2 differs by +-1 LSB on ~half of H values)
-            return _host_hls(img, 0).astype(np.uint8)
-        return real_cvt(img, code)
-
-    cv2.cvtColor = cvt_exact
-
-    sys.path.insert(0, REF)
-    from meterelf import _params as r_params
-    from meterelf import _image as r_image
-    from meterelf import _reading as r_reading
-
-    ref_params = r_params.load(yml)
-
-    def decode_frame(frame_bgr):
-        """-> (meter_values dict | None, error-class-name | None)"""
-        imgf = r_image.ImageFile("<fuzz>", ref_params, frame_bgr)
-        try:
-            return r_reading.get_meter_value(imgf), None
-        except Exception as exc:  # reference error taxonomy
-            return None, type(exc).__name__
-
-    try:
         yield decode_frame, params, camera
-    finally:
-        yaml.load = real_yaml_load
-        cv2.findContours = real_find_contours
-        cv2.findNonZero = real_find_non_zero
-        cv2.cvtColor = real_cvt
-        sys.path.remove(REF)
 
 
 def _frames(camera, n, seed):
