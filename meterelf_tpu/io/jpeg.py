@@ -78,6 +78,24 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.mej_read_coefs_region_file.restype = ctypes.c_int
+        lib.mej_read_coefs_region_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint16),
+        ]
+        lib.mej_read_coefs_region_batch.restype = None
+        lib.mej_read_coefs_region_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ulong),
+            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
         _lib = lib
     return _lib
 
@@ -304,6 +322,87 @@ def load_crop_bytes_u8(
             out[i] = c
             ok_out[i] = True
     return out, ok_out
+
+
+def read_coefs_batch(
+    datas: Sequence[bytes],
+    win,                       # ops.jpegdec.CoefWindow
+    frame_wh: Tuple[int, int],
+    num_threads: int = 2,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Entropy-decode only (pthreads, GIL-free): ship the block-aligned
+    DCT-coefficient window for the device back-half
+    (ops/jpegdec.backhalf_to_packed) to finish.
+
+    Returns (coef_y [N, lbh*lbw, 64] i16, coef_cb, coef_cr
+    [N, (lbh//2)*(lbw//2), 64] i16, qt [N, 3, 64] u16, ok [N] bool).
+    ok=False rows (corrupt header, non-4:2:0/progressive layout,
+    unexpected frame size) keep zeroed slots — the caller decodes those
+    few on the host pixel path instead."""
+    lib = _get_lib()
+    n = len(datas)
+    nby = win.lbh * win.lbw
+    coef_y = np.zeros((n, nby, 64), np.int16)
+    coef_cb = np.zeros((n, nby // 4, 64), np.int16)
+    coef_cr = np.zeros((n, nby // 4, 64), np.int16)
+    qt = np.zeros((n, 3, 64), np.uint16)
+    ok = np.zeros(n, np.int32)
+    arr_ptrs = (ctypes.c_char_p * n)(*datas)
+    arr_sizes = (ctypes.c_ulong * n)(*[len(d) for d in datas])
+    lib.mej_read_coefs_region_batch(
+        arr_ptrs, arr_sizes, n,
+        win.lbx0, win.lby0, win.lbw, win.lbh,
+        frame_wh[0], frame_wh[1],
+        coef_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        coef_cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        coef_cr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        qt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads)
+    return coef_y, coef_cb, coef_cr, qt, ok == 0
+
+
+def load_coef_feed(
+    datas: Sequence[bytes],
+    meter_rect: Rect,
+    frame_wh: Tuple[int, int],
+    pad_hw: Tuple[int, int],
+    fb_slots: int = 8,
+    num_threads: int = 2,
+):
+    """The production host feed: entropy-decode every frame's DCT
+    window (read_coefs_batch) and pixel-decode the stragglers into a
+    bounded set of fallback slots, for one jitted dispatch of
+    pipeline.decode.make_coef_decode_fn.
+
+    Frames the coefficient reader rejects (corrupt, progressive/4:4:4,
+    unexpected size) are decoded on the host pixel path into up to
+    ``fb_slots`` packed [PH, PW] i32 crops that the device scatters
+    over the back-half output; unused slots carry index len(datas)
+    (dropped by the scatter). Rows failing both paths — or overflowing
+    the fallback budget (a misconfigured camera, not a decode-path
+    case) — get load_ok=False and decode to the load-error code.
+
+    Returns (coef_y, coef_cb, coef_cr, qt, load_ok, fb_packed, fb_idx).
+    """
+    from ..ops import jpegdec
+
+    win = jpegdec.coef_window(meter_rect, frame_wh[0], frame_wh[1])
+    cy, cb, cr, qt, ok = read_coefs_batch(
+        datas, win, frame_wh, num_threads=num_threads)
+    load_ok = ok.copy()
+    fb_idx = np.full(fb_slots, len(datas), np.int32)
+    fb_packed = np.zeros((fb_slots, pad_hw[0], pad_hw[1]), np.int32)
+    bad = np.nonzero(~ok)[0][:fb_slots]
+    if len(bad):
+        pk, pok = load_packed_crops_from_bytes(
+            [datas[i] for i in bad], meter_rect, pad_hw,
+            num_threads=num_threads)
+        for j, i in enumerate(bad):
+            if pok[j]:
+                fb_idx[j] = i
+                fb_packed[j] = pk[j]
+                load_ok[i] = True
+    return cy, cb, cr, qt, load_ok, fb_packed, fb_idx
 
 
 def _decode_bytes_full(data: bytes) -> Optional[np.ndarray]:

@@ -561,6 +561,250 @@ void mej_decode_region_batch_packed(const unsigned char *const *datas,
     pthread_mutex_destroy(&job.lock);
 }
 
+/* ---------- DCT-coefficient window read (device back-half feed) ----------
+ *
+ * The host-side JPEG cost floor is the inherently sequential entropy
+ * decode; everything after it (dequantize, IDCT, chroma upsampling,
+ * YCbCr->BGR) is data-parallel integer math that belongs on the
+ * accelerator. These functions entropy-decode only
+ * (jpeg_read_coefficients) and ship a block-aligned window of raw DCT
+ * coefficients + the quant tables; ops/jpegdec.py finishes the decode
+ * inside the jitted graph with bit-exact libjpeg numerics (ISLOW IDCT,
+ * fancy h2v2 upsampling, fixed-point color convert).
+ *
+ * Supported layout: 8-bit baseline (non-progressive, Huffman) 3-component
+ * YCbCr with 4:2:0 sampling — the entire sample corpus. Anything else
+ * returns nonzero and the caller falls back to the pixel-path decode.
+ *
+ * Window: [lby0, lby0+lbh) x [lbx0, lbx0+lbw) in luma block units, all
+ * four values even so the window is chroma-block-aligned. Coefficients
+ * and quant tables are in natural (raster) order, as libjpeg stores them.
+ */
+
+static int mej_read_coefs_region(const unsigned char *data,
+                                 unsigned long size,
+                                 int lbx0, int lby0, int lbw, int lbh,
+                                 int exp_w, int exp_h,
+                                 int16_t *coefY, int16_t *coefCb,
+                                 int16_t *coefCr, uint16_t *qt /* [3*64] */)
+{
+    struct jpeg_decompress_struct cinfo;
+    mej_error_mgr jerr;
+
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = mej_error_exit;
+    jerr.pub.emit_message = mej_emit_message;
+    jerr.pub.output_message = mej_output_message;
+
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, size);
+    jpeg_read_header(&cinfo, TRUE);
+
+    if (cinfo.num_components != 3
+        || cinfo.jpeg_color_space != JCS_YCbCr
+        || cinfo.progressive_mode || cinfo.arith_code
+        || cinfo.data_precision != 8) {
+        jpeg_destroy_decompress(&cinfo);
+        return 6; /* unsupported layout: caller falls back */
+    }
+    {
+        jpeg_component_info *c0 = &cinfo.comp_info[0];
+        jpeg_component_info *c1 = &cinfo.comp_info[1];
+        jpeg_component_info *c2 = &cinfo.comp_info[2];
+        if (c0->h_samp_factor != 2 || c0->v_samp_factor != 2
+            || c1->h_samp_factor != 1 || c1->v_samp_factor != 1
+            || c2->h_samp_factor != 1 || c2->v_samp_factor != 1) {
+            jpeg_destroy_decompress(&cinfo);
+            return 6;
+        }
+    }
+    if (exp_w > 0 && ((int)cinfo.image_width != exp_w
+                      || (int)cinfo.image_height != exp_h)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 5; /* unexpected frame size: edge-clamp geometry is static */
+    }
+
+    jvirt_barray_ptr *coefs = jpeg_read_coefficients(&cinfo);
+    if (coefs == NULL) {
+        jpeg_destroy_decompress(&cinfo);
+        return 7;
+    }
+
+    {
+        jpeg_component_info *c0 = &cinfo.comp_info[0];
+        jpeg_component_info *c1 = &cinfo.comp_info[1];
+        int cbx0 = lbx0 / 2, cby0 = lby0 / 2;
+        int cbw = lbw / 2, cbh = lbh / 2;
+        /* luma bounds use the MCU-padded grid ((w_in_blocks+1) & ~1):
+         * the whole-image coefficient arrays are allocated rounded up to
+         * the sampling factor and the decoder fills dummy edge blocks,
+         * whose pixels the caller crops away. */
+        if (lbx0 < 0 || lby0 < 0 || lbw <= 0 || lbh <= 0
+            || (lbx0 | lby0 | lbw | lbh) & 1
+            || lbx0 + lbw > (((int)c0->width_in_blocks + 1) & ~1)
+            || lby0 + lbh > (((int)c0->height_in_blocks + 1) & ~1)
+            || cbx0 + cbw > (int)c1->width_in_blocks
+            || cby0 + cbh > (int)c1->height_in_blocks) {
+            jpeg_destroy_decompress(&cinfo);
+            return 8; /* window outside the block grid */
+        }
+
+        for (int ci = 0; ci < 3; ci++) {
+            JQUANT_TBL *q =
+                cinfo.quant_tbl_ptrs[cinfo.comp_info[ci].quant_tbl_no];
+            if (q == NULL) {
+                jpeg_destroy_decompress(&cinfo);
+                return 9;
+            }
+            for (int k = 0; k < 64; k++)
+                qt[ci * 64 + k] = (uint16_t)q->quantval[k];
+        }
+
+        for (int y = 0; y < lbh; y++) {
+            JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+                (j_common_ptr)&cinfo, coefs[0],
+                (JDIMENSION)(lby0 + y), 1, FALSE);
+            memcpy(coefY + (size_t)y * lbw * DCTSIZE2,
+                   rows[0][lbx0], (size_t)lbw * DCTSIZE2 * sizeof(JCOEF));
+        }
+        for (int y = 0; y < cbh; y++) {
+            JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+                (j_common_ptr)&cinfo, coefs[1],
+                (JDIMENSION)(cby0 + y), 1, FALSE);
+            memcpy(coefCb + (size_t)y * cbw * DCTSIZE2,
+                   rows[0][cbx0], (size_t)cbw * DCTSIZE2 * sizeof(JCOEF));
+            rows = (*cinfo.mem->access_virt_barray)(
+                (j_common_ptr)&cinfo, coefs[2],
+                (JDIMENSION)(cby0 + y), 1, FALSE);
+            memcpy(coefCr + (size_t)y * cbw * DCTSIZE2,
+                   rows[0][cbx0], (size_t)cbw * DCTSIZE2 * sizeof(JCOEF));
+        }
+    }
+
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+/* Single-call variant from a file path (tests / probes). */
+int mej_read_coefs_region_file(const char *path,
+                               int lbx0, int lby0, int lbw, int lbh,
+                               int exp_w, int exp_h,
+                               int16_t *coefY, int16_t *coefCb,
+                               int16_t *coefCr, uint16_t *qt)
+{
+    FILE *fp = fopen(path, "rb");
+    if (!fp)
+        return 10;
+    fseek(fp, 0, SEEK_END);
+    long sz = ftell(fp);
+    fseek(fp, 0, SEEK_SET);
+    if (sz <= 0) {
+        fclose(fp);
+        return 11;
+    }
+    unsigned char *buf = (unsigned char *)malloc((size_t)sz);
+    if (!buf) {
+        fclose(fp);
+        return 12;
+    }
+    if (fread(buf, 1, (size_t)sz, fp) != (size_t)sz) {
+        free(buf);
+        fclose(fp);
+        return 13;
+    }
+    fclose(fp);
+    int rc = mej_read_coefs_region(buf, (unsigned long)sz,
+                                   lbx0, lby0, lbw, lbh, exp_w, exp_h,
+                                   coefY, coefCb, coefCr, qt);
+    free(buf);
+    return rc;
+}
+
+typedef struct {
+    const unsigned char *const *datas;
+    const unsigned long *sizes;
+    int16_t *coefY;           /* N * lbh*lbw*64 */
+    int16_t *coefCb;          /* N * (lbh/2)*(lbw/2)*64 */
+    int16_t *coefCr;
+    uint16_t *qt;             /* N * 3*64 */
+    int *ok;                  /* N: 0 = success (else caller falls back) */
+    int lbx0, lby0, lbw, lbh;
+    int exp_w, exp_h;
+    int n;
+    int next;
+    pthread_mutex_t lock;
+} mej_coef_job;
+
+static void *mej_coef_worker(void *arg)
+{
+    mej_coef_job *job = (mej_coef_job *)arg;
+    size_t y_stride = (size_t)job->lbh * job->lbw * DCTSIZE2;
+    size_t c_stride = y_stride / 4;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        int i = job->next++;
+        pthread_mutex_unlock(&job->lock);
+        if (i >= job->n)
+            break;
+        job->ok[i] = mej_read_coefs_region(
+            job->datas[i], job->sizes[i],
+            job->lbx0, job->lby0, job->lbw, job->lbh,
+            job->exp_w, job->exp_h,
+            job->coefY + (size_t)i * y_stride,
+            job->coefCb + (size_t)i * c_stride,
+            job->coefCr + (size_t)i * c_stride,
+            job->qt + (size_t)i * 3 * 64);
+    }
+    return NULL;
+}
+
+void mej_read_coefs_region_batch(const unsigned char *const *datas,
+                                 const unsigned long *sizes, int n,
+                                 int lbx0, int lby0, int lbw, int lbh,
+                                 int exp_w, int exp_h,
+                                 int16_t *coefY, int16_t *coefCb,
+                                 int16_t *coefCr, uint16_t *qt,
+                                 int *ok, int num_threads)
+{
+    mej_coef_job job;
+    job.datas = datas;
+    job.sizes = sizes;
+    job.coefY = coefY;
+    job.coefCb = coefCb;
+    job.coefCr = coefCr;
+    job.qt = qt;
+    job.ok = ok;
+    job.lbx0 = lbx0;
+    job.lby0 = lby0;
+    job.lbw = lbw;
+    job.lbh = lbh;
+    job.exp_w = exp_w;
+    job.exp_h = exp_h;
+    job.n = n;
+    job.next = 0;
+    pthread_mutex_init(&job.lock, NULL);
+
+    if (num_threads < 1)
+        num_threads = 1;
+    if (num_threads > n)
+        num_threads = n;
+    pthread_t threads[64];
+    if (num_threads > 64)
+        num_threads = 64;
+
+    for (int t = 0; t < num_threads; t++)
+        pthread_create(&threads[t], NULL, mej_coef_worker, &job);
+    for (int t = 0; t < num_threads; t++)
+        pthread_join(threads[t], NULL);
+    pthread_mutex_destroy(&job.lock);
+}
+
 /* ------------- raw-u8 region decode (minimal-byte H2D feed) ------------ */
 
 /* Decode each region straight into its [rh, rw, 3] u8 BGR slot — no

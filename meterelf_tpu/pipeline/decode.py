@@ -53,9 +53,12 @@ from ..ops import template as template_ops
 # (50.6k vs 45.7k img/s, dispatch-floor-amortized bench A/B; an
 # earlier "parity" reading came from a harness whose per-variant cost
 # was dominated by the ~30 ms tunnel dispatch floor — see
-# docs/performance.md "measurement trap"). The quad path itself is
-# selected only when conv_precision == "pallas", i.e. on TPU.
-_QUAD_STATS = os.environ.get("METERELF_QUAD_STATS", "hist_pallas")
+# docs/performance.md "measurement trap"). "fused" then beat
+# "hist_pallas" 56.1k vs 53.7k on the round-2 on-chip A/B queue
+# (experiments/tpu_ab_round2.sh, bit-parity certified first by
+# experiments/quad_kernels_check.py) and is the default. The quad path
+# itself is selected only when conv_precision == "pallas", i.e. on TPU.
+_QUAD_STATS = os.environ.get("METERELF_QUAD_STATS", "fused")
 
 # frontend/windows composition for the quad path: "split" (separate
 # frontend and window-mask kernels, superwindow round-trips HBM) or
@@ -405,6 +408,42 @@ def pack_crops_device(crops_u8, pad_hw=None):
         h, w = packed.shape[1], packed.shape[2]
         packed = jnp.pad(packed, ((0, 0), (0, ph - h), (0, pw - w)))
     return packed
+
+
+def make_coef_decode_fn(dec: "MeterDecoder", frame_wh):
+    """Compose the device JPEG back-half (ops/jpegdec.py) with the
+    decode graph: one jitted dispatch from entropy-decoded DCT
+    coefficient windows to readings.
+
+    The host side only runs the inherently sequential Huffman decode
+    (io.jpeg.load_coef_feed); dequantize + ISLOW IDCT + fancy chroma
+    upsampling + YCbCr->BGR + crop/pack all fuse into the same graph
+    that reads the dials. Fallback rows (pixel-path packed crops for
+    frames the coefficient reader rejects) scatter over the back-half
+    output; unused slots carry an out-of-range index and drop.
+
+    Returns (step, win, pad_hw): ``step(param_arrays, coef_y, coef_cb,
+    coef_cr, qt, load_ok, fb_packed, fb_idx) -> BatchResult``, the
+    static CoefWindow the feed arrays must match, and the packed-crop
+    padding the fallback slots must be staged at (pass it to
+    io.jpeg.load_coef_feed)."""
+    from ..ops import jpegdec
+
+    from ..io.jpeg import frontend_pad_hw
+
+    rect = dec.params.meter_rect
+    win = jpegdec.coef_window(rect, frame_wh[0], frame_wh[1])
+    crop_hw = (rect.height, rect.width)
+    pad_hw = frontend_pad_hw() if crop_hw == (250, 250) else None
+
+    @jax.jit
+    def step(pa, cy, cb, cr, qt, ok, fb_packed, fb_idx):
+        packed = jpegdec.backhalf_to_packed(
+            cy, cb, cr, qt, win, pad_hw=pad_hw)
+        packed = packed.at[fb_idx].set(fb_packed, mode="drop")
+        return dec._fn(pa, packed, ok)
+
+    return step, win, (pad_hw if pad_hw is not None else crop_hw)
 
 
 def _stats_bbox(mask_full: np.ndarray, sb: int = 48):

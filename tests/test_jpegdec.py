@@ -1,0 +1,174 @@
+"""Device JPEG back-half (ops/jpegdec.py) parity vs the native pixel
+decoder.
+
+The coefficient feed ships entropy-decoded DCT blocks and finishes the
+decode in the jitted graph; its output must be byte-identical to the
+pixel path (io/native region decode), which is itself the verified
+byte-exact match for the reference's 2019 OpenCV wheel (SURVEY.md
+§8bis). Oracles here: the pixel path over the whole golden corpus, and
+PIL-encoded out-of-corpus fuzz frames (odd sizes, edge-touching rects,
+quality sweep, layout fallbacks)."""
+import glob
+import io as _io
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from meterelf_tpu.io import jpeg as jio
+from meterelf_tpu.ops import jpegdec
+from meterelf_tpu.types import Rect
+
+SAMPLE1 = "/root/reference/sample-images1"
+SAMPLE2 = "/root/reference/sample-images2"
+RECT1 = Rect(top_left=(50, 160), bottom_right=(300, 410))
+RECT2 = Rect(top_left=(70, 270), bottom_right=(290, 405))
+FRAME_WH = (480, 640)
+# the two corrupt sample-images1 frames are also the two 640x480 ones:
+# the coefficient feed rejects the unexpected frame size (static clamp
+# geometry) and the caller's pixel fallback handles them
+ODD_FRAMES = {"20180814021309-01-e01.jpg", "20180814021310-00-e02.jpg"}
+
+
+def _backhalf_batch(datas, rect, frame_wh, pad_hw=None):
+    win = jpegdec.coef_window(rect, frame_wh[0], frame_wh[1])
+    cy, cb, cr, qt, ok = jio.read_coefs_batch(datas, win, frame_wh)
+    fn = jax.jit(
+        lambda a, b, c, q: jpegdec.backhalf_to_packed(
+            a, b, c, q, win, pad_hw=pad_hw))
+    return np.asarray(fn(cy, cb, cr, qt)), ok
+
+
+@pytest.mark.parametrize("sample_dir,rect", [
+    (SAMPLE1, RECT1), (SAMPLE2, RECT2)])
+def test_corpus_coef_feed_matches_pixel_path(sample_dir, rect):
+    files = sorted(glob.glob(os.path.join(sample_dir, "*.jpg")))
+    assert files
+    datas = [open(f, "rb").read() for f in files]
+    packed_px, ok_px = jio.load_packed_crops_from_bytes(
+        datas, rect, (rect.height, rect.width))
+    packed_cf, ok_cf = _backhalf_batch(datas, rect, FRAME_WH)
+    fallbacks = []
+    for i, f in enumerate(files):
+        if not ok_cf[i]:
+            fallbacks.append(os.path.basename(f))
+            continue
+        assert ok_px[i]
+        np.testing.assert_array_equal(
+            packed_cf[i], packed_px[i], err_msg=os.path.basename(f))
+    assert set(fallbacks) == (
+        ODD_FRAMES if sample_dir == SAMPLE1 else set())
+
+
+def _encode(arr_rgb, **kw):
+    from PIL import Image
+    buf = _io.BytesIO()
+    Image.fromarray(arr_rgb, "RGB").save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def _rng_frame(rng, w, h):
+    # smooth-ish content plus hard edges: exercises big AC coefficients
+    y, x = np.mgrid[0:h, 0:w]
+    base = (128 + 80 * np.sin(x / 9.0) * np.cos(y / 13.0))
+    img = np.stack([base + rng.integers(-40, 40, (h, w)),
+                    base + rng.integers(-40, 40, (h, w)),
+                    base + rng.integers(-40, 40, (h, w))], axis=-1)
+    img[h // 3:h // 3 + 7] = 255
+    img[:, w // 2:w // 2 + 5] = 0
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_fuzz_coef_feed_matches_pixel_path():
+    rng = np.random.default_rng(20260818)
+    cases = [
+        # (frame w, h, rect x0 y0 x1 y1)  — interior + every edge/corner
+        (480, 640, (50, 160, 300, 410)),
+        (480, 640, (0, 0, 64, 48)),          # top-left corner
+        (480, 640, (432, 600, 480, 640)),    # bottom-right corner
+        (175, 133, (0, 0, 175, 133)),        # whole odd-sized frame
+        (161, 97, (140, 70, 161, 97)),       # odd size, right/bottom edge
+        (320, 240, (7, 3, 311, 235)),        # near-full, off-grid origin
+        (48, 32, (0, 0, 48, 32)),            # tiny frame
+    ]
+    for q in (25, 80, 95):
+        for (w, h, (x0, y0, x1, y1)) in cases:
+            rect = Rect(top_left=(x0, y0), bottom_right=(x1, y1))
+            data = _encode(_rng_frame(rng, w, h), quality=q,
+                           subsampling=2)   # 4:2:0
+            packed_px, ok_px = jio.load_packed_crops_from_bytes(
+                [data], rect, (rect.height, rect.width))
+            packed_cf, ok_cf = _backhalf_batch([data], rect, (w, h))
+            assert ok_px[0] and ok_cf[0], (w, h, q, rect)
+            np.testing.assert_array_equal(
+                packed_cf[0], packed_px[0],
+                err_msg=f"frame {w}x{h} q{q} rect {rect}")
+
+
+def test_unsupported_layouts_fall_back():
+    rng = np.random.default_rng(7)
+    frame = _rng_frame(rng, 160, 128)
+    rect = Rect(top_left=(16, 16), bottom_right=(80, 80))
+    win = jpegdec.coef_window(rect, 160, 128)
+    for kw in ({"subsampling": 0},              # 4:4:4
+               {"subsampling": 1},              # 4:2:2
+               {"progressive": True, "subsampling": 2}):
+        data = _encode(frame, quality=85, **kw)
+        *_, ok = jio.read_coefs_batch([data], win, (160, 128))
+        assert not ok[0], kw
+    # wrong frame size against the static geometry
+    data = _encode(frame, quality=85, subsampling=2)
+    *_, ok = jio.read_coefs_batch([data], win, (161, 128))
+    assert not ok[0]
+    # and the supported layout sanity check
+    *_, ok = jio.read_coefs_batch([data], win, (160, 128))
+    assert ok[0]
+
+
+@pytest.mark.parametrize("sample_dir,rect,params_file,n", [
+    (SAMPLE1, RECT1, f"{SAMPLE1}/params.yml", 16),   # incl. both corrupt
+    (SAMPLE2, RECT2, f"{SAMPLE2}/params.yml", 8),
+])
+def test_coef_feed_readings_match_pixel_path(sample_dir, rect,
+                                             params_file, n):
+    """One jitted dispatch from DCT coefficients to readings must agree
+    with the pixel-crop path on values AND error codes — including the
+    fallback scatter for the frames the coefficient reader rejects."""
+    from meterelf_tpu.params import load as load_params
+    from meterelf_tpu.pipeline.decode import (MeterDecoder,
+                                              make_coef_decode_fn)
+
+    files = sorted(glob.glob(os.path.join(sample_dir, "*.jpg")))[:n]
+    datas = [open(f, "rb").read() for f in files]
+    params = load_params(params_file)
+    dec = MeterDecoder(params)
+    step, win, pad_hw = make_coef_decode_fn(dec, FRAME_WH)
+
+    cy, cb, cr, qt, load_ok, fbp, fbi = jio.load_coef_feed(
+        datas, params.meter_rect, FRAME_WH, pad_hw)
+    if sample_dir == SAMPLE1:
+        assert (fbi < len(datas)).sum() == 2   # the two corrupt frames
+    res_cf = jax.tree.map(
+        np.asarray, step(dec.param_arrays, cy, cb, cr, qt,
+                         load_ok, fbp, fbi))
+
+    crops_px, ok_px = jio.load_crops_threaded(files, params.meter_rect)
+    res_px = dec.decode_numpy(crops_px, ok_px)
+
+    np.testing.assert_array_equal(load_ok, ok_px)
+    np.testing.assert_array_equal(res_cf.err, res_px.err)
+    np.testing.assert_array_equal(res_cf.value, res_px.value)
+    np.testing.assert_array_equal(res_cf.dial_pos, res_px.dial_pos)
+
+
+def test_coef_window_geometry():
+    win = jpegdec.coef_window(RECT1, 480, 640)
+    # margin >= 2 px (1 chroma sample) on every interior side
+    assert 16 * (win.lbx0 // 2) <= 50 - 2
+    assert 8 * (win.lbx0 + win.lbw) >= 300 + 2
+    assert win.ox == 50 - 8 * win.lbx0 and win.rw == 250
+    # window stays inside the chroma block grid
+    assert win.lbx0 % 2 == 0 and win.lbw % 2 == 0
+    assert 8 * (win.lbx0 + win.lbw) <= 16 * ((480 + 15) // 16)
