@@ -183,6 +183,10 @@ def main() -> None:
         record["end_to_end_img_s"] = round(e2e_rate, 1)
         record["host_decode_img_s"] = round(host_rate, 1)
         record["host_cores"] = os.cpu_count()
+    if files:
+        ce2e, centropy = end_to_end_rate_coef(dec, params, files)
+        record["end_to_end_coef_img_s"] = round(ce2e, 1)
+        record["host_entropy_img_s"] = round(centropy, 1)
     print(json.dumps(record))
 
 
@@ -250,6 +254,60 @@ def end_to_end_rate(dec, params, files, frames: int = 2048):
     for chunk in chunks:
         jio.load_crop_bytes_u8(chunk, params.meter_rect,
                                num_threads=os.cpu_count() or 1)
+    host_dt = time.time() - t0
+    n = len(chunks) * BATCH
+    return n / dt, n / host_dt
+
+
+def end_to_end_rate_coef(dec, params, files, frames: int = 2048):
+    """End-to-end throughput with the coefficient feed: the host runs
+    ONLY the inherently sequential Huffman decode
+    (io.jpeg.load_coef_feed) and the device finishes the JPEG
+    (ops/jpegdec.py) inside the same dispatch that reads the dials.
+
+    Returns (end_to_end_img_s, host_entropy_img_s) — the second is the
+    host entropy-decode stage alone on all cores: the host-side cost
+    floor of ANY JPEG input path, and the honest per-core feed ceiling
+    of this one (the pixel path's host cost is host_decode_img_s).
+    Over the dev tunnel the e2e number is link-bound (coefficient
+    windows are ~210 KB/frame vs the u8 crops' 187 KB)."""
+    import jax
+    from meterelf_tpu.io import jpeg as jio
+    from meterelf_tpu.pipeline.decode import make_coef_decode_fn
+
+    datas_corpus = []
+    for f in files:
+        with open(f, "rb") as fp:
+            datas_corpus.append(fp.read())
+    reps = -(-frames // len(datas_corpus))
+    datas = (datas_corpus * reps)[: (frames // BATCH) * BATCH]
+    chunks = [datas[i:i + BATCH] for i in range(0, len(datas), BATCH)]
+    step, _win, pad_hw = make_coef_decode_fn(dec, (480, 640))
+    pa_dev = jax.device_put(dec.param_arrays)
+    jax.block_until_ready(pa_dev)
+    n_threads = max(2, os.cpu_count() or 1)
+
+    def run_pass():
+        sums = []
+        for chunk in chunks:
+            feed = jio.load_coef_feed(
+                chunk, params.meter_rect, (480, 640), pad_hw,
+                num_threads=n_threads)
+            r = step(pa_dev, *[jax.device_put(a) for a in feed])
+            sums.append(r.value.sum() + r.err.sum().astype(r.value.dtype))
+        return sum(float(s) for s in sums)
+
+    run_pass()  # compile + allocator warmup, untimed
+    t0 = time.time()
+    checksum = run_pass()
+    dt = time.time() - t0
+    assert np.isfinite(checksum)
+
+    # host entropy stage alone, all cores on deck
+    t0 = time.time()
+    for chunk in chunks:
+        jio.load_coef_feed(chunk, params.meter_rect, (480, 640), pad_hw,
+                           num_threads=os.cpu_count() or 1)
     host_dt = time.time() - t0
     n = len(chunks) * BATCH
     return n / dt, n / host_dt

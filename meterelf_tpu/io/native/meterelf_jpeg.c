@@ -581,6 +581,104 @@ void mej_decode_region_batch_packed(const unsigned char *const *datas,
  * and quant tables are in natural (raster) order, as libjpeg stores them.
  */
 
+/* Suspending chunked source: hands the decoder SRC_CHUNK bytes at a
+ * time and suspends between chunks, so the caller regains control to
+ * check cinfo.input_iMCU_row and STOP the (inherently sequential)
+ * entropy decode once the coefficient window's last iMCU row has been
+ * consumed — rows below the window never get Huffman-decoded. On data
+ * exhaustion it stages the same fake-EOI bytes jpeg_mem_src inserts,
+ * so truncated files keep their zero-filled-tail behavior. */
+#include <jpegint.h>   /* jpeg_d_coef_controller (coefficient access
+                          while jpeg_read_coefficients is suspended) */
+
+#define MEJ_SRC_CHUNK 4096
+
+typedef struct {
+    struct jpeg_source_mgr pub;
+    const unsigned char *data;
+    unsigned long size;
+    unsigned long pos;
+    long skip_pending;
+    unsigned long chunk;      /* driver-tuned stage size */
+} mej_chunk_src;
+
+static const JOCTET mej_fake_eoi[2] = {0xFF, JPEG_EOI};
+
+static void mej_src_noop(j_decompress_ptr cinfo) { (void)cinfo; }
+
+static boolean mej_src_fill(j_decompress_ptr cinfo)
+{
+    (void)cinfo;
+    return FALSE; /* always suspend: the driver loop stages chunks */
+}
+
+static void mej_src_skip(j_decompress_ptr cinfo, long num)
+{
+    mej_chunk_src *src = (mej_chunk_src *)cinfo->src;
+    if (num <= 0)
+        return;
+    if ((size_t)num <= src->pub.bytes_in_buffer) {
+        src->pub.next_input_byte += num;
+        src->pub.bytes_in_buffer -= (size_t)num;
+    } else {
+        src->skip_pending += num - (long)src->pub.bytes_in_buffer;
+        src->pub.bytes_in_buffer = 0;
+    }
+}
+
+/* Stage more input after a suspension. On suspension the decoder may
+ * roll next_input_byte BACK to the start of the incomplete entropy row
+ * (jdhuff restores its row-start checkpoint), so unconsumed bytes must
+ * stay visible: the window resumes at next_input_byte (which points
+ * into our contiguous buffer) and is extended CHUNK bytes past the
+ * previous high-water mark `pos`. Stages the same fake-EOI bytes
+ * jpeg_mem_src inserts once real data is exhausted. */
+static void mej_src_stage(mej_chunk_src *src)
+{
+    unsigned long resume = src->pos;
+    if (src->pub.bytes_in_buffer > 0
+        && src->pub.next_input_byte >= src->data
+        && src->pub.next_input_byte < src->data + src->size)
+        resume = (unsigned long)(src->pub.next_input_byte - src->data);
+    while (src->skip_pending > 0 && resume < src->size) {
+        unsigned long step = src->size - resume;
+        if ((unsigned long)src->skip_pending < step)
+            step = (unsigned long)src->skip_pending;
+        resume += step;
+        src->skip_pending -= (long)step;
+    }
+    if (resume >= src->size) {
+        src->pub.next_input_byte = mej_fake_eoi;
+        src->pub.bytes_in_buffer = 2;
+        return;
+    }
+    unsigned long tgt = (src->pos > resume ? src->pos : resume)
+        + src->chunk;
+    if (tgt > src->size)
+        tgt = src->size;
+    src->pub.next_input_byte = src->data + resume;
+    src->pub.bytes_in_buffer = tgt - resume;
+    src->pos = tgt;
+}
+
+static void mej_src_setup(j_decompress_ptr cinfo, mej_chunk_src *src,
+                          const unsigned char *data, unsigned long size)
+{
+    src->pub.init_source = mej_src_noop;
+    src->pub.fill_input_buffer = mej_src_fill;
+    src->pub.skip_input_data = mej_src_skip;
+    src->pub.resync_to_restart = jpeg_resync_to_restart;
+    src->pub.term_source = mej_src_noop;
+    src->pub.next_input_byte = NULL;
+    src->pub.bytes_in_buffer = 0;
+    src->data = data;
+    src->size = size;
+    src->pos = 0;
+    src->skip_pending = 0;
+    src->chunk = MEJ_SRC_CHUNK;
+    cinfo->src = &src->pub;
+}
+
 static int mej_read_coefs_region(const unsigned char *data,
                                  unsigned long size,
                                  int lbx0, int lby0, int lbw, int lbh,
@@ -590,6 +688,7 @@ static int mej_read_coefs_region(const unsigned char *data,
 {
     struct jpeg_decompress_struct cinfo;
     mej_error_mgr jerr;
+    mej_chunk_src src;
 
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = mej_error_exit;
@@ -602,8 +701,18 @@ static int mej_read_coefs_region(const unsigned char *data,
     }
 
     jpeg_create_decompress(&cinfo);
-    jpeg_mem_src(&cinfo, data, size);
-    jpeg_read_header(&cinfo, TRUE);
+    mej_src_setup(&cinfo, &src, data, size);
+    {
+        /* bounded by total chunks + a safety margin for fake-EOI pulls */
+        long guard = (long)(size / MEJ_SRC_CHUNK) + 1024;
+        while (jpeg_read_header(&cinfo, TRUE) == JPEG_SUSPENDED) {
+            mej_src_stage(&src);
+            if (--guard < 0) {
+                jpeg_destroy_decompress(&cinfo);
+                return 14;
+            }
+        }
+    }
 
     if (cinfo.num_components != 3
         || cinfo.jpeg_color_space != JCS_YCbCr
@@ -629,7 +738,31 @@ static int mej_read_coefs_region(const unsigned char *data,
         return 5; /* unexpected frame size: edge-clamp geometry is static */
     }
 
-    jvirt_barray_ptr *coefs = jpeg_read_coefficients(&cinfo);
+    /* Entropy-decode ONLY the iMCU rows covering the window: resume
+     * jpeg_read_coefficients chunk by chunk (the suspending source
+     * returns control between chunks) and stop as soon as the window's
+     * last iMCU row has been consumed — for the reference geometry this
+     * skips the ~35% of Huffman work below the meter rect. */
+    jvirt_barray_ptr *coefs = NULL;
+    {
+        int stop_imcu = (lby0 + lbh + 1) / 2;   /* iMCU rows = 16 px */
+        long guard = (long)(size / MEJ_SRC_CHUNK)
+            + 2 * (long)cinfo.total_iMCU_rows + 1024;
+        for (;;) {
+            coefs = jpeg_read_coefficients(&cinfo);
+            if (coefs != NULL)
+                break;                           /* reached EOI */
+            if ((int)cinfo.input_iMCU_row >= stop_imcu) {
+                coefs = cinfo.coef->coef_arrays; /* early stop */
+                break;
+            }
+            mej_src_stage(&src);
+            if (--guard < 0) {
+                jpeg_destroy_decompress(&cinfo);
+                return 14;
+            }
+        }
+    }
     if (coefs == NULL) {
         jpeg_destroy_decompress(&cinfo);
         return 7;
