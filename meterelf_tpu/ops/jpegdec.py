@@ -136,8 +136,8 @@ def _idct_1d(d, shift: int):
 
 
 def idct_blocks(coef: jnp.ndarray, qt: jnp.ndarray) -> jnp.ndarray:
-    """coef [B, NB, 64] i16 (natural order), qt [B, 64] -> centered
-    samples + 128 as i32 [B, NB, 64], clamped to [0, 255].
+    """coef [B, NB, 64] i16 (natural order), qt [B, 64] -> samples
+    (level-shifted +128, clamped to [0, 255]) as u8 [B, NB, 64].
 
     The per-column all-AC-zero shortcut in jidctint.c is arithmetically
     identical to the general path (dc<<13 has 11 zero low bits, so the
@@ -146,14 +146,18 @@ def idct_blocks(coef: jnp.ndarray, qt: jnp.ndarray) -> jnp.ndarray:
     runs the butterfly ONCE on 8 stacked slices (vectorized over the
     other axis) with the block dim minor — small traced graph, full
     vector lanes."""
-    d = coef.astype(jnp.int32) * qt.astype(jnp.int32)[:, None, :]
-    B, NB = d.shape[0], d.shape[1]
-    # [B, NB, 8r, 8c] -> [B, 8r, 8c, NB]: lanes carry blocks
-    d4 = d.reshape(B, NB, 8, 8).transpose(0, 2, 3, 1)
+    B, NB = coef.shape[0], coef.shape[1]
+    # transpose while still i16 (half the relayout traffic), dequantize
+    # in the plane layout: [B, NB, 8r, 8c] -> [B, 8r, 8c, NB]
+    c4 = coef.reshape(B, NB, 8, 8).transpose(0, 2, 3, 1)
+    d4 = (c4.astype(jnp.int32)
+          * qt.astype(jnp.int32).reshape(B, 8, 8, 1))
     ws = _idct_1d([d4[:, r] for r in range(8)], 11)   # over rows: 8x[B,8c,NB]
     ws4 = jnp.stack(ws, axis=1)                       # [B, 8r, 8c, NB]
     out = _idct_1d([ws4[:, :, c] for c in range(8)], 18)  # 8x[B,8r,NB]
-    o4 = jnp.clip(jnp.stack(out, axis=2) + 128, 0, 255)  # [B, 8r, 8c, NB]
+    # samples fit u8 after the clip: narrowing BEFORE the transpose-back
+    # quarters the relayout + downstream plane traffic (HBM-bound tail)
+    o4 = jnp.clip(jnp.stack(out, axis=2) + 128, 0, 255).astype(jnp.uint8)
     return o4.transpose(0, 3, 1, 2).reshape(B, NB, 64)
 
 
@@ -166,7 +170,7 @@ def _blocks_to_plane(s: jnp.ndarray, bh: int, bw: int) -> jnp.ndarray:
 
 def _upsample_h2v2_fancy(c: jnp.ndarray, ch_valid: int,
                          cw_valid: int) -> jnp.ndarray:
-    """[B, ch, cw] i32 chroma plane -> [B, 2*ch, 2*cw] i32, libjpeg's
+    """[B, ch, cw] u8 chroma plane -> [B, 2*ch, 2*cw] u8, libjpeg's
     triangle filter (jdsample.c h2v2_fancy_upsample): vertical 3:1
     colsums, then horizontal 3:1 with the +8/+7 rounding pair. Neighbor
     indices clamp at (ch_valid, cw_valid) — the image edge in window
@@ -174,18 +178,26 @@ def _upsample_h2v2_fancy(c: jnp.ndarray, ch_valid: int,
     window edges are never referenced by kept outputs (the >=1-chroma-
     sample margin in coef_window guarantees real context)."""
     B, ch, cw = c.shape
+    ci = c.astype(jnp.int32)
+    # neighbor access via jnp.take with STATIC clamped indices: XLA
+    # compiles these monotonic gathers well — a slice+concat(+.at fixup)
+    # reformulation measured 60% SLOWER on v5e (1.13 vs 0.70 ms/256)
     rows = np.arange(ch)
     up = np.maximum(rows - 1, 0)
     dn = np.minimum(rows + 1, ch_valid - 1)
-    cs_even = 3 * c + jnp.take(c, up, axis=1)        # near row above
-    cs_odd = 3 * c + jnp.take(c, dn, axis=1)         # near row below
-    cs = jnp.stack([cs_even, cs_odd], axis=2).reshape(B, 2 * ch, cw)
+    cs_even = 3 * ci + jnp.take(ci, up, axis=1)      # near row above
+    cs_odd = 3 * ci + jnp.take(ci, dn, axis=1)       # near row below
+    # colsums fit u16 (max 4*255): narrow the materialized intermediate
+    cs = (jnp.stack([cs_even, cs_odd], axis=2)
+          .reshape(B, 2 * ch, cw).astype(jnp.uint16))
+    csi = cs.astype(jnp.int32)
     cols = np.arange(cw)
     lf = np.maximum(cols - 1, 0)
     rt = np.minimum(cols + 1, cw_valid - 1)
-    o_even = (3 * cs + jnp.take(cs, lf, axis=2) + 8) >> 4
-    o_odd = (3 * cs + jnp.take(cs, rt, axis=2) + 7) >> 4
-    return jnp.stack([o_even, o_odd], axis=3).reshape(B, 2 * ch, 2 * cw)
+    o_even = (3 * csi + jnp.take(csi, lf, axis=2) + 8) >> 4
+    o_odd = (3 * csi + jnp.take(csi, rt, axis=2) + 7) >> 4
+    return (jnp.stack([o_even, o_odd], axis=3)
+            .reshape(B, 2 * ch, 2 * cw).astype(jnp.uint8))
 
 
 # ---- fixed-point YCbCr->BGR (jdcolor.c build_ycc_rgb_table) ----
@@ -197,10 +209,12 @@ _FIX_0_34414 = _fix(0.34414)
 
 def _ycc_to_packed_bgr(y: jnp.ndarray, cb: jnp.ndarray,
                        cr: jnp.ndarray) -> jnp.ndarray:
-    """i32 planes (y in [0,255], cb/cr in [0,255]) -> packed BGR i32
-    (b | g<<8 | r<<16), the decode graph's staging word."""
-    cbi = cb - 128
-    cri = cr - 128
+    """u8 planes -> packed BGR i32 (b | g<<8 | r<<16), the decode
+    graph's staging word. The u8->i32 casts fuse into the elementwise
+    chain; keeping the plane arrays u8 quarters their HBM traffic."""
+    y = y.astype(jnp.int32)
+    cbi = cb.astype(jnp.int32) - 128
+    cri = cr.astype(jnp.int32) - 128
     r = y + ((_FIX_1_40200 * cri + _ONE_HALF) >> _SCALEBITS)
     b = y + ((_FIX_1_77200 * cbi + _ONE_HALF) >> _SCALEBITS)
     g = y + ((-_FIX_0_34414 * cbi - _FIX_0_71414 * cri + _ONE_HALF)
