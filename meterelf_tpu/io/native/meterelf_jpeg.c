@@ -600,6 +600,8 @@ typedef struct {
     unsigned long pos;
     long skip_pending;
     unsigned long chunk;      /* driver-tuned stage size */
+    unsigned char *scratch;   /* tail + fake EOI for truncated streams */
+    unsigned long scratch_len;
 } mej_chunk_src;
 
 static const JOCTET mej_fake_eoi[2] = {0xFF, JPEG_EOI};
@@ -652,6 +654,31 @@ static void mej_src_stage(mej_chunk_src *src)
         src->pub.bytes_in_buffer = 2;
         return;
     }
+    if (src->pos >= src->size) {
+        /* Truncated stream: every real byte has been staged already and
+         * the decoder still rolled back — the remaining tail alone can
+         * never complete the suspended entropy row. Stage tail + fake
+         * EOI CONTIGUOUSLY (what jpeg_mem_src's fill does): the decoder
+         * sees the marker mid-row, enters insufficient-data mode, and
+         * zero-fills the rest, matching the pixel path's behavior. */
+        unsigned long tail = src->size - resume;
+        if (src->scratch == NULL || src->scratch_len < tail + 2) {
+            free(src->scratch);
+            src->scratch = (unsigned char *)malloc(tail + 2);
+            src->scratch_len = src->scratch ? tail + 2 : 0;
+        }
+        if (src->scratch == NULL) {  /* OOM: degrade to pure fake EOI */
+            src->pub.next_input_byte = mej_fake_eoi;
+            src->pub.bytes_in_buffer = 2;
+            return;
+        }
+        memcpy(src->scratch, src->data + resume, tail);
+        src->scratch[tail] = 0xFF;
+        src->scratch[tail + 1] = JPEG_EOI;
+        src->pub.next_input_byte = src->scratch;
+        src->pub.bytes_in_buffer = tail + 2;
+        return;
+    }
     unsigned long tgt = (src->pos > resume ? src->pos : resume)
         + src->chunk;
     if (tgt > src->size)
@@ -676,19 +703,23 @@ static void mej_src_setup(j_decompress_ptr cinfo, mej_chunk_src *src,
     src->pos = 0;
     src->skip_pending = 0;
     src->chunk = MEJ_SRC_CHUNK;
+    src->scratch = NULL;
+    src->scratch_len = 0;
     cinfo->src = &src->pub;
 }
 
-static int mej_read_coefs_region(const unsigned char *data,
-                                 unsigned long size,
-                                 int lbx0, int lby0, int lbw, int lbh,
-                                 int exp_w, int exp_h,
-                                 int16_t *coefY, int16_t *coefCb,
-                                 int16_t *coefCr, uint16_t *qt /* [3*64] */)
+static int mej_read_coefs_region_inner(const unsigned char *data,
+                                       unsigned long size,
+                                       int lbx0, int lby0, int lbw, int lbh,
+                                       int exp_w, int exp_h,
+                                       int16_t *coefY, int16_t *coefCb,
+                                       int16_t *coefCr,
+                                       uint16_t *qt /* [3*64] */,
+                                       mej_chunk_src *srcp)
 {
     struct jpeg_decompress_struct cinfo;
     mej_error_mgr jerr;
-    mej_chunk_src src;
+#define src (*srcp)
 
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = mej_error_exit;
@@ -822,6 +853,26 @@ static int mej_read_coefs_region(const unsigned char *data,
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     return 0;
+#undef src
+}
+
+/* Wrapper owning the suspension source (frees the truncated-stream
+ * scratch buffer on every exit path, including longjmp errors). */
+static int mej_read_coefs_region(const unsigned char *data,
+                                 unsigned long size,
+                                 int lbx0, int lby0, int lbw, int lbh,
+                                 int exp_w, int exp_h,
+                                 int16_t *coefY, int16_t *coefCb,
+                                 int16_t *coefCr, uint16_t *qt /* [3*64] */)
+{
+    mej_chunk_src src;
+    src.scratch = NULL;
+    src.scratch_len = 0;
+    int rc = mej_read_coefs_region_inner(
+        data, size, lbx0, lby0, lbw, lbh, exp_w, exp_h,
+        coefY, coefCb, coefCr, qt, &src);
+    free(src.scratch);
+    return rc;
 }
 
 /* Single-call variant from a file path (tests / probes). */

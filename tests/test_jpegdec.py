@@ -107,6 +107,53 @@ def test_fuzz_coef_feed_matches_pixel_path():
                 err_msg=f"frame {w}x{h} q{q} rect {rect}")
 
 
+def test_truncated_files_match_pixel_path():
+    """Truncated streams exercise the suspending source's fake-EOI path
+    (the corrupt-frame behavior contract: decode what's there, zero-fill
+    the rest, no stderr). Coef and pixel paths must agree byte-for-byte
+    at EVERY truncation point sampled across the file."""
+    rng = np.random.default_rng(99)
+    w, h = 480, 640
+    rect = Rect(top_left=(50, 160), bottom_right=(300, 410))
+    data = _encode(_rng_frame(rng, w, h), quality=85, subsampling=2)
+    cuts = [len(data) * k // 7 for k in range(1, 7)] + [len(data) - 1]
+    for cut in cuts:
+        trunc = data[:cut]
+        packed_px, ok_px = jio.load_packed_crops_from_bytes(
+            [trunc], rect, (rect.height, rect.width))
+        packed_cf, ok_cf = _backhalf_batch([trunc], rect, (w, h))
+        assert bool(ok_cf[0]) == bool(ok_px[0]), cut
+        if not ok_cf[0]:
+            continue  # header lost: both paths reject
+        np.testing.assert_array_equal(
+            packed_cf[0], packed_px[0], err_msg=f"cut at {cut}")
+
+
+def test_restart_markers_match_pixel_path():
+    """Restart intervals change the entropy-decode structure (DC
+    predictor resets, marker resyncs) — the suspension loop must hand
+    them through intact."""
+    from PIL import Image
+    rng = np.random.default_rng(55)
+    w, h = 320, 240
+    rect = Rect(top_left=(30, 40), bottom_right=(290, 200))
+    frame = _rng_frame(rng, w, h)
+    buf = _io.BytesIO()
+    try:
+        Image.fromarray(frame, "RGB").save(
+            buf, "JPEG", quality=85, subsampling=2, restart_marker_rows=2)
+    except TypeError:
+        pytest.skip("this Pillow cannot emit restart markers")
+    data = buf.getvalue()
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data, \
+        "encoder produced no restart markers"
+    packed_px, ok_px = jio.load_packed_crops_from_bytes(
+        [data], rect, (rect.height, rect.width))
+    packed_cf, ok_cf = _backhalf_batch([data], rect, (w, h))
+    assert ok_px[0] and ok_cf[0]
+    np.testing.assert_array_equal(packed_cf[0], packed_px[0])
+
+
 def test_unsupported_layouts_fall_back():
     rng = np.random.default_rng(7)
     frame = _rng_frame(rng, 160, 128)
