@@ -24,11 +24,16 @@ pixel-path fallback host-side.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Tuple
 
 import numpy as np
 
 import jax.numpy as jnp
+
+# tail implementation: "auto" (fused Pallas kernel on TPU for supported
+# geometry, XLA elsewhere), "pallas", or "xla" — perf A/B knob
+_TAIL = os.environ.get("METERELF_JPEG_TAIL", "auto")
 
 # ---- ISLOW IDCT constants (jidctint.c; FIX(x) at CONST_BITS=13) ----
 _F_0_298631336 = 2446
@@ -241,6 +246,9 @@ def backhalf_to_packed(
     sy = _blocks_to_plane(idct_blocks(coef_y, qt[:, 0]), win.lbh, win.lbw)
     scb = _blocks_to_plane(idct_blocks(coef_cb, qt[:, 1]), cbh, cbw)
     scr = _blocks_to_plane(idct_blocks(coef_cr, qt[:, 2]), cbh, cbw)
+    if _pallas_tail_ok(win, pad_hw):
+        from .pallas_jpeg import upsample_color_pack
+        return upsample_color_pack(sy, scb, scr, win, pad_hw)
     ucb = _upsample_h2v2_fancy(scb, win.ch_valid, win.cw_valid)
     ucr = _upsample_h2v2_fancy(scr, win.ch_valid, win.cw_valid)
     oy, ox, rh, rw = win.oy, win.ox, win.rh, win.rw
@@ -252,3 +260,23 @@ def backhalf_to_packed(
         packed = jnp.pad(
             packed, ((0, 0), (0, pad_hw[0] - rh), (0, pad_hw[1] - rw)))
     return packed
+
+
+def _pallas_tail_ok(win: CoefWindow, pad_hw) -> bool:
+    """The fused tail kernel supports the padded-staging geometry with
+    an 8-aligned crop row origin inside the window (the aligned-slice
+    trick in ops/pallas_jpeg.py). 'auto' enables it on TPU only
+    (compiled Pallas is TPU-only)."""
+    if _TAIL == "xla" or pad_hw is None:
+        return False
+    geom_ok = (win.oy % 8 == 0
+               and win.oy + pad_hw[0] <= 8 * win.lbh
+               and pad_hw[1] <= 8 * win.lbw)
+    if not geom_ok:
+        return False
+    if _TAIL == "pallas":
+        return True
+    import jax as _jax
+
+    dev = _jax.config.jax_default_device or _jax.devices()[0]
+    return dev.platform == "tpu"

@@ -210,6 +210,46 @@ def test_coef_feed_readings_match_pixel_path(sample_dir, rect,
     np.testing.assert_array_equal(res_cf.dial_pos, res_px.dial_pos)
 
 
+def test_pallas_tail_matches_xla_tail():
+    """The fused upsample+color+pack kernel (ops/pallas_jpeg.py) must be
+    bit-identical to the XLA tail on real corpus planes (interpret mode
+    here; the compiled kernel is exercised by the TPU bench, which gates
+    on golden parity)."""
+    import jax.numpy as jnp
+    from meterelf_tpu.ops import jpegdec as jd
+    from meterelf_tpu.ops.pallas_jpeg import upsample_color_pack
+
+    files = sorted(glob.glob(os.path.join(SAMPLE1, "*.jpg")))[2:8]
+    datas = [open(f, "rb").read() for f in files]
+    win = jpegdec.coef_window(RECT1, *FRAME_WH)
+    pad_hw = jio.frontend_pad_hw()
+    cy, cb, cr, qt, ok = jio.read_coefs_batch(datas, win, FRAME_WH)
+    assert ok.all()
+
+    cbh, cbw = win.lbh // 2, win.lbw // 2
+    sy = jd._blocks_to_plane(
+        jd.idct_blocks(jnp.asarray(cy), jnp.asarray(qt)[:, 0]),
+        win.lbh, win.lbw)
+    scb = jd._blocks_to_plane(
+        jd.idct_blocks(jnp.asarray(cb), jnp.asarray(qt)[:, 1]), cbh, cbw)
+    scr = jd._blocks_to_plane(
+        jd.idct_blocks(jnp.asarray(cr), jnp.asarray(qt)[:, 2]), cbh, cbw)
+
+    ucb = jd._upsample_h2v2_fancy(scb, win.ch_valid, win.cw_valid)
+    ucr = jd._upsample_h2v2_fancy(scr, win.ch_valid, win.cw_valid)
+    oy, ox, rh, rw = win.oy, win.ox, win.rh, win.rw
+    ref = jd._ycc_to_packed_bgr(
+        sy[:, oy:oy + rh, ox:ox + rw].astype(jnp.int32),
+        ucb[:, oy:oy + rh, ox:ox + rw].astype(jnp.int32),
+        ucr[:, oy:oy + rh, ox:ox + rw].astype(jnp.int32))
+    ref = np.asarray(jnp.pad(
+        ref, ((0, 0), (0, pad_hw[0] - rh), (0, pad_hw[1] - rw))))
+
+    got = np.asarray(upsample_color_pack(
+        sy, scb, scr, win, pad_hw, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_coef_window_geometry():
     win = jpegdec.coef_window(RECT1, 480, 640)
     # margin >= 2 px (1 chroma sample) on every interior side
