@@ -81,9 +81,6 @@ def stream_decode(
     enqueued before batch k's results are pulled to the host.
     """
     dec = decoder or MeterDecoder(params, exact=True)
-    state = _StreamState()
-    tm = timers if timers is not None else StageTimers()
-    t_start = time.time()
 
     def batches():
         buf_names: List[str] = []
@@ -102,26 +99,113 @@ def stream_decode(
                     [crops, np.zeros((pad,) + crops.shape[1:], crops.dtype)])
             yield buf_names, crops
 
-    pending = None  # (names, device result)
+    def dispatch(crops):
+        return dec(crops)  # async: device starts while the host loops
+
+    def rescue(crops, res):
+        # pathological masks defeated the corpus-tuned CCL caps:
+        # replace the non-converged rows via the rescue graph (raises
+        # if even rescue caps don't converge). Injected decoders that
+        # don't expose a rescue path (e.g. bare mesh callables) must
+        # not silently emit potentially-mislabeled readings.
+        if not hasattr(dec, "rescue_numpy"):
+            raise RuntimeError(
+                "stream batch failed CCL convergence and the injected "
+                "decoder has no rescue_numpy; refusing to emit "
+                "potentially mislabeled readings")
+        import jax
+
+        return dec.rescue_numpy(crops, jax.tree.map(np.asarray, res))
+
+    return _stream_core(batches(), dispatch, rescue,
+                        window_seconds=window_seconds,
+                        leak_min_flow_lph=leak_min_flow_lph,
+                        leak_bins=leak_bins, timestamps=timestamps,
+                        timers=timers)
+
+
+def stream_decode_bytes(
+    params: Params,
+    frames: Iterable[Tuple[str, bytes]],
+    frame_wh: Tuple[int, int],
+    *,
+    decoder: Optional[MeterDecoder] = None,
+    batch_size: int = 256,
+    num_threads: int = 2,
+    window_seconds: float = 600.0,
+    leak_min_flow_lph: float = 0.5,
+    leak_bins: int = 4,
+    timestamps: Optional[Iterable[float]] = None,
+    timers: Optional[StageTimers] = None,
+) -> Iterator[StreamReport]:
+    """Streaming decode straight from JPEG bytes via the coefficient
+    feed: the host entropy-decodes only (io.jpeg.load_coef_feed) and
+    the device finishes the JPEG + reads the dials in one dispatch
+    (pipeline.decode.make_coef_decode_fn). Same reports and pipelining
+    as stream_decode; frames the coefficient reader rejects take the
+    bounded pixel-fallback slots. The rare CCL-rescue path re-decodes
+    that batch's bytes on the host pixel path."""
+    from .io import jpeg as jio
+    from .pipeline.decode import make_coef_decode_fn
+
+    dec = decoder or MeterDecoder(params, exact=True)
+    step, _win, pad_hw = make_coef_decode_fn(dec, frame_wh)
+
+    def batches():
+        buf: List[Tuple[str, bytes]] = []
+        for item in frames:
+            buf.append(item)
+            if len(buf) == batch_size:
+                yield [n for n, _ in buf], [d for _, d in buf]
+                buf = []
+        if buf:
+            names = [n for n, _ in buf]
+            datas = [d for _, d in buf] + [b""] * (batch_size - len(buf))
+            yield names, datas
+
+    def dispatch(datas):
+        feed = jio.load_coef_feed(datas, params.meter_rect, frame_wh,
+                                  pad_hw, num_threads=num_threads)
+        return step(dec.param_arrays, *feed)
+
+    def rescue(datas, res):
+        import jax
+
+        res = jax.tree.map(np.asarray, res)
+        crops, ok = jio.load_crop_bytes_u8(datas, params.meter_rect,
+                                           num_threads=num_threads)
+        return dec.decode_numpy(crops, ok)
+
+    return _stream_core(batches(), dispatch, rescue,
+                        window_seconds=window_seconds,
+                        leak_min_flow_lph=leak_min_flow_lph,
+                        leak_bins=leak_bins, timestamps=timestamps,
+                        timers=timers)
+
+
+def _stream_core(
+    batch_iter,
+    dispatch,
+    rescue,
+    *,
+    window_seconds: float,
+    leak_min_flow_lph: float,
+    leak_bins: int,
+    timestamps: Optional[Iterable[float]],
+    timers: Optional[StageTimers],
+) -> Iterator[StreamReport]:
+    """Shared pipelined drain/report loop: batch k+1 is dispatched
+    before batch k's results are pulled to the host."""
+    state = _StreamState()
+    tm = timers if timers is not None else StageTimers()
+    t_start = time.time()
+    pending = None  # (names, batch payload, device result)
     ts_iter = iter(timestamps) if timestamps is not None else None
 
-    def drain(names, crops, res) -> StreamReport:
+    def drain(names, payload, res) -> StreamReport:
         if not bool(np.asarray(res.converged).all()):
-            # pathological masks defeated the corpus-tuned CCL caps:
-            # replace the non-converged rows via the rescue graph (raises
-            # if even rescue caps don't converge). Injected decoders that
-            # don't expose a rescue path (e.g. bare mesh callables) must
-            # not silently emit potentially-mislabeled readings.
-            if not hasattr(dec, "rescue_numpy"):
-                raise RuntimeError(
-                    "stream batch failed CCL convergence and the injected "
-                    "decoder has no rescue_numpy; refusing to emit "
-                    "potentially mislabeled readings")
             with tm.stage("rescue"):
-                import jax
-
-                res = dec.rescue_numpy(
-                    crops, jax.tree.map(np.asarray, res))
+                res = rescue(payload, res)
         err = np.asarray(res.err)[: len(names)]
         values = np.asarray(res.value)[: len(names)]
         now = time.time()
@@ -170,14 +254,14 @@ def stream_decode(
             images_per_sec=state.frames_total / elapsed,
         )
 
-    for names, crops in batches():
+    for names, payload in batch_iter:
         with tm.stage("dispatch"):
-            res = dec(crops)  # async: device starts while host loops
+            res = dispatch(payload)
         if pending is not None:
             with tm.stage("drain"):
                 rep = drain(*pending)
             yield rep
-        pending = (names, crops, res)
+        pending = (names, payload, res)
     if pending is not None:
         with tm.stage("drain"):
             rep = drain(*pending)
@@ -245,7 +329,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     args = list(sys.argv[1:] if argv is None else argv)
     repeat, batch = 1, 256
     trace_dir: Optional[str] = None
-    for flag in ("--repeat", "--batch", "--trace"):
+    coef_wh: Optional[Tuple[int, int]] = None
+    for flag in ("--repeat", "--batch", "--trace", "--coef"):
         if flag in args:
             i = args.index(flag)
             val = args[i + 1]
@@ -254,28 +339,50 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 repeat = int(val)
             elif flag == "--batch":
                 batch = int(val)
+            elif flag == "--coef":
+                w, h = val.lower().split("x")
+                coef_wh = (int(w), int(h))
             else:
                 trace_dir = val
     if len(args) < 2:
         print("usage: python -m meterelf_tpu.stream PARAMS_FILE "
-              "IMAGE_FILE... [--repeat N] [--batch B] [--trace DIR]",
+              "IMAGE_FILE... [--repeat N] [--batch B] [--trace DIR] "
+              "[--coef WxH]",
               file=sys.stderr)
         raise SystemExit(1)
     params = Params.load(args[0])
-    base = list(replay_files(params, args[1:], repeat=1))
-    ts0 = [_filename_timestamp(fn) for fn, _ in base]
+    if coef_wh is not None:
+        # coefficient feed: host entropy-decodes only; frames are raw
+        # JPEG bytes and the device finishes the decode
+        base_b = []
+        for fn in args[1:]:
+            with open(fn, "rb") as fp:
+                base_b.append((fn, fp.read()))
+        ts0 = [_filename_timestamp(fn) for fn, _ in base_b]
+        names_iterable = base_b
+    else:
+        base = list(replay_files(params, args[1:], repeat=1))
+        ts0 = [_filename_timestamp(fn) for fn, _ in base]
+        names_iterable = base
     timestamps = None
-    if base and all(t is not None for t in ts0):
+    if names_iterable and all(t is not None for t in ts0):
         span = (max(ts0) - min(ts0)) + 60.0
         timestamps = [t + r * span for r in range(repeat) for t in ts0]
-    frames = (fr for _r in range(repeat) for fr in base)
+    frames = (fr for _r in range(repeat) for fr in names_iterable)
     timers = (StageTimers()
               if os.environ.get("METERELF_PROFILE") == "1" else None)
     from .profiling import device_trace
 
+    def reports():
+        if coef_wh is not None:
+            return stream_decode_bytes(
+                params, frames, coef_wh, batch_size=batch,
+                timestamps=timestamps, timers=timers)
+        return stream_decode(params, frames, batch_size=batch,
+                             timestamps=timestamps, timers=timers)
+
     with device_trace(trace_dir):
-        for rep in stream_decode(params, frames, batch_size=batch,
-                                 timestamps=timestamps, timers=timers):
+        for rep in reports():
             flow = ("?" if rep.flow_lph is None
                     else f"{rep.flow_lph:.3f}")
             last = ("?" if rep.last_value is None

@@ -31,6 +31,47 @@ def test_stream_over_sample_frames(params1, decoder1):
     assert last.last_value is not None
 
 
+def test_stream_bytes_matches_crops(params1, decoder1):
+    """The coefficient-feed stream (host entropy decode -> device JPEG
+    back-half + dial decode) must produce the same rolling statistics as
+    the pixel-crop stream on the same frames."""
+    from glob import glob
+    from meterelf_tpu.stream import replay_files, stream_decode_bytes
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))[2:10]
+    ts = list(np.arange(1000.0, 1000.0 + 10.0 * len(files), 10.0))
+    ref = list(stream_decode(
+        params1, replay_files(params1, files), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts)))
+    byte_frames = [(f, open(f, "rb").read()) for f in files]
+    got = list(stream_decode_bytes(
+        params1, byte_frames, (480, 640), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts)))
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        assert a.frames_ok == b.frames_ok
+        assert a.frames_error == b.frames_error
+        assert a.last_value == b.last_value
+        assert a.cumulative_liters == b.cumulative_liters
+        assert a.flow_lph == b.flow_lph
+
+
+def test_stream_cli_coef_flag(capsys):
+    """`--coef WxH` streams raw JPEG bytes through the coefficient
+    feed."""
+    from glob import glob
+    from meterelf_tpu import stream as stream_mod
+
+    files = sorted(glob("/root/reference/sample-images1/2018*.jpg"))[2:6]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    stream_mod.main(
+        ["/root/reference/sample-images1/params.yml", *files,
+         "--repeat", "2", "--batch", "8", "--coef", "480x640"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and out[-1].startswith("frames=8 ")
+
+
 def test_stream_leak_detection(params1, decoder1):
     """Synthetic monotone consumption across the window trips the flag."""
     from glob import glob
