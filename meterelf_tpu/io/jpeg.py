@@ -326,7 +326,7 @@ def load_crop_bytes_u8(
 
 def read_coefs_batch(
     datas: Sequence[bytes],
-    win,                       # ops.jpegdec.CoefWindow
+    win: "CoefWindow",         # ops.jpegdec.CoefWindow (host pytree)
     frame_wh: Tuple[int, int],
     num_threads: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -368,7 +368,8 @@ def load_coef_feed(
     pad_hw: Tuple[int, int],
     fb_slots: int = 8,
     num_threads: int = 2,
-):
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray, np.ndarray, np.ndarray]:
     """The production host feed: entropy-decode every frame's DCT
     window (read_coefs_batch) and pixel-decode the stragglers into a
     bounded set of fallback slots, for one jitted dispatch of
@@ -427,7 +428,8 @@ def _decode_bytes_full(data: bytes) -> Optional[np.ndarray]:
     return out[:h * w * 3].reshape(h, w, 3)
 
 
-def pack_crops(crops_u8: np.ndarray, pad_hw=None) -> np.ndarray:
+def pack_crops(crops_u8: np.ndarray,
+               pad_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """[B, H, W, 3] u8 BGR -> [B, H, W] i32 packed (b | g<<8 | r<<16).
 
     The decode graph's canonical pixel format: one 32-bit word per pixel
@@ -448,7 +450,7 @@ def pack_crops(crops_u8: np.ndarray, pad_hw=None) -> np.ndarray:
     return packed
 
 
-def frontend_pad_hw():
+def frontend_pad_hw() -> Tuple[int, int]:
     """The (H, W) padding the Pallas frontend kernel expects (the
     canonical [256, 256] staging shape; the rotate pad is built in
     VMEM inside the kernel)."""

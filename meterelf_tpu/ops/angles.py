@@ -23,7 +23,7 @@ pixel slots and performs exact masked reductions:
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -47,7 +47,7 @@ def read_dial(
     ann_sqd: jnp.ndarray,       # [Pa] f: x^2 + y^2 (reference-rounded)
     neg_sign: jnp.ndarray,      # [] i32
     zero_turn: jnp.ndarray,     # [] f: angle_of_zero / 360
-    sum_dtype=None,             # accumulation dtype (default: data dtype)
+    sum_dtype: Optional[jnp.dtype] = None,   # accumulation dtype
 ) -> DialReading:
     needle = region_flat[disk_idx] & disk_valid
     tip = region_flat[ann_idx] & ann_valid
@@ -72,7 +72,7 @@ def read_dial_from_okey(
     ann_sqd: jnp.ndarray,
     neg_sign: jnp.ndarray,
     zero_turn: jnp.ndarray,
-    sum_dtype=None,
+    sum_dtype: Optional[jnp.dtype] = None,
 ) -> DialReading:
     """read_dial against the packed owner-key raster directly: the
     needle-region bit is derived AT the gather points (big blob ->

@@ -28,7 +28,7 @@ def _exact_f32_div(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
     return (num.astype(jnp.float64) / den.astype(jnp.float64)).astype(_F32)
 
 
-def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
+def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift: int) -> jnp.ndarray:
     """[..., 3] uint8 BGR -> [..., 3] int32 HLS (FULL hue range 0..255),
     with the reference's wrapping hue shift applied
     (meterelf/_utils.py:100-102: uint8 wraparound add on H only)."""
@@ -37,7 +37,9 @@ def bgr_to_hls_full(bgr_u8: jnp.ndarray, hue_shift) -> jnp.ndarray:
     return jnp.stack([h, l, s], axis=-1).astype(jnp.uint8)
 
 
-def bgr_planes_to_hls(b_u8, g_u8, r_u8, hue_shift):
+def bgr_planes_to_hls(b_u8: jnp.ndarray, g_u8: jnp.ndarray,
+                      r_u8: jnp.ndarray, hue_shift: int
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Planar variant of bgr_to_hls_full: three uint8 planes in, three
     int32 planes (h, l, s) out. Channel-planes layouts keep the minor
     (lane) dimension a full image axis instead of the 3-wide channel
@@ -85,7 +87,8 @@ def lightness_channel(bgr_u8: jnp.ndarray) -> jnp.ndarray:
         bgr_u8[..., 0], bgr_u8[..., 1], bgr_u8[..., 2])
 
 
-def lightness_from_planes(b_u8, g_u8, r_u8) -> jnp.ndarray:
+def lightness_from_planes(b_u8: jnp.ndarray, g_u8: jnp.ndarray,
+                          r_u8: jnp.ndarray) -> jnp.ndarray:
     """Planar-layout L channel (see bgr_planes_to_hls)."""
     scale = _F32(1.0) / _F32(255.0)
     b = b_u8.astype(_F32) * scale
@@ -103,7 +106,7 @@ def _saturate_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.int32)
 
 
-def hls_full_to_bgr(hls_i32: jnp.ndarray, hue_shift) -> jnp.ndarray:
+def hls_full_to_bgr(hls_i32: jnp.ndarray, hue_shift: int) -> jnp.ndarray:
     """Inverse conversion (reference meterelf/_utils.py:105-110), used by
     calibration/debug paths. Mirrors OpenCV's sector-table HLS2RGB float
     algorithm (sector = floor(h/60), channels picked from

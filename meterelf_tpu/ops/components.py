@@ -207,7 +207,7 @@ def analyze_batch(
     closed: jnp.ndarray,     # [K, W, W] bool
     disk: jnp.ndarray,       # [K, W, W] bool
     impl: str = "xla",       # "xla" | "pallas" (TPU-only) | "pallas_interpret"
-    static_bbox=None,        # (((ox, oy) per dial), SB): static sub-box that
+    static_bbox: tuple | None = None,  # (((ox, oy) per dial), SB): sub-box that
                              # provably contains every disk pixel; shrinks the
                              # stats domain from W*W to SB*SB keys per window.
                              # K must then be a multiple of len(origins).
@@ -215,7 +215,7 @@ def analyze_batch(
                              # | "hist_pallas[_interpret]" (VMEM one-hot
                              # histogram kernel, ops/pallas_stats.py;
                              # ignores static_bbox — no u16 constraint)
-    caps=None,               # (k_label, k_outside, k_fill) pass caps; None =
+    caps: tuple | None = None,  # (k_label, k_outside, k_fill); None =
                              # the corpus-tuned defaults. High caps (the
                              # RESCUE_CAPS rescue path) guarantee convergence
                              # on pathological masks: in XLA they switch the

@@ -120,7 +120,8 @@ def _tables(n: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return itab, wave_re.astype(F), wave_im.astype(F)
 
 
-def cdft(re: np.ndarray, im: np.ndarray, inv: bool = False):
+def cdft(re: np.ndarray, im: np.ndarray,
+         inv: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Complex DFT of each row of (re, im) [B, n] f32, OpenCV's plain
     dataflow (reference: OpenCV 3.4 dxt.cpp template DFT)."""
     re = np.ascontiguousarray(re, F)

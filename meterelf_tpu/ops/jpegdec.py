@@ -31,6 +31,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ..types import Rect
+
 # tail implementation: "auto" (fused Pallas kernel on TPU for supported
 # geometry, XLA elsewhere), "pallas", or "xla" — perf A/B knob
 _TAIL = os.environ.get("METERELF_JPEG_TAIL", "auto")
@@ -73,7 +75,8 @@ class CoefWindow(NamedTuple):
     ch_valid: int  # — the upsampling clamp bound (= image edge)
 
 
-def coef_window(rect, frame_w: int, frame_h: int) -> CoefWindow:
+def coef_window(rect: Rect, frame_w: int,
+                frame_h: int) -> CoefWindow:
     """Window for ``rect`` (types.Rect) in a frame_w x frame_h 4:2:0
     frame. Margin of 2 luma px (1 chroma sample) on every side keeps the
     triangle filter's context; at image edges the filter replicates,

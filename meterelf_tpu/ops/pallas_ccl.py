@@ -319,8 +319,9 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
     conv_ref[...] = conv
 
 
-def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *, interpret=False,
-              caps=None):
+def propagate(masked: jnp.ndarray, disk: jnp.ndarray, *,
+              interpret: bool = False, caps: tuple | None = None
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """[K, W, W] bool masks -> (owner_key i32 [K, W, W], converged [K]).
 
     owner_key = owner*4 + masked*2 + boundary with owner = N for
@@ -380,8 +381,9 @@ GQ = int(os.environ.get("METERELF_CCL_GQ", "8"))
                   # perf experiments; 8 is the measured default.
 
 
-def propagate_quads(bits_quads: jnp.ndarray, *, interpret=False, caps=None,
-                    pack_closed=False):
+def propagate_quads(bits_quads: jnp.ndarray, *, interpret: bool = False,
+                    caps: tuple | None = None, pack_closed: bool = False
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quad-layout propagation: [B, W, 4*W] i32 packed bits (bit 0 =
     masked, bit 1 = disk, bit 2 = closed; the windows kernel's native
     output, ops/pallas_windows.py) -> (okey [B, W, 4*W] i32,

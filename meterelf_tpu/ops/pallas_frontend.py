@@ -237,9 +237,9 @@ def _stage_img(packed_img: jnp.ndarray,
 def frontend_pallas(
     packed_img: jnp.ndarray,    # [B, H, W] i32 packed BGR
     template_u8: jnp.ndarray,   # [th, tw]
-    template_mean,              # f32 scalar (Tsum / (th*tw))
+    template_mean: float,       # f32 scalar (Tsum / (th*tw))
     interpret: bool = False,
-):
+) -> tuple:
     """-> (max_val [B] f32, mx [B] i32, my [B] i32,
            superwindow [B, SW_H, SW_W] i32 packed BGR at (my, mx))."""
     B = packed_img.shape[0]
@@ -294,14 +294,14 @@ def _c1_for(template_u8: jnp.ndarray, template_mean) -> jnp.ndarray:
 def frontend_windows_pallas(
     packed_img: jnp.ndarray,    # [B, H, W] i32 packed BGR
     template_u8: jnp.ndarray,   # [th, tw]
-    template_mean,              # f32 scalar (Tsum / (th*tw))
+    template_mean: float,       # f32 scalar (Tsum / (th*tw))
     disk_quad: jnp.ndarray,     # [64, 256] i32 static disk quad (0/1)
     color_range: jnp.ndarray,   # [D<=8, 3] i32
-    hue_shift,
-    origins,                    # ((ox, oy) per dial), python ints
-    centers,                    # ((cx, cy) per dial), python ints
+    hue_shift: int,
+    origins: tuple,             # ((ox, oy) per dial), python ints
+    centers: tuple,             # ((cx, cy) per dial), python ints
     interpret: bool = False,
-):
+) -> tuple:
     """Merged frontend+windows call: -> (max_val [B] f32, mx [B] i32,
     my [B] i32, bits [B, 64, 256] i32 packed window-mask quad — the
     propagate_quads input). The superwindow stays in VMEM."""

@@ -33,8 +33,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .jpegdec import (_FIX_1_40200, _FIX_1_77200, _FIX_0_71414,
-                      _FIX_0_34414, _ONE_HALF, _SCALEBITS)
+from .jpegdec import (CoefWindow, _FIX_1_40200, _FIX_1_77200,
+                      _FIX_0_71414, _FIX_0_34414, _ONE_HALF, _SCALEBITS)
 
 
 GT = int(os.environ.get("METERELF_JPEG_TAIL_GT", "8"))
@@ -111,8 +111,9 @@ def _tail_kernel(y_ref, cb_ref, cr_ref, out_ref, *,
 
 
 def upsample_color_pack(y_u8: jnp.ndarray, cb_u8: jnp.ndarray,
-                        cr_u8: jnp.ndarray, win, pad_hw,
-                        interpret: bool = False) -> jnp.ndarray:
+                        cr_u8: jnp.ndarray, win: CoefWindow,
+                        pad_hw: tuple, interpret: bool = False
+                        ) -> jnp.ndarray:
     """y [B, LH, LW] u8, cb/cr [B, CH, CW] u8 (spatial planes from the
     IDCT stage) -> [B, PH, PW] packed-BGR i32 staging crops. Requires
     oy % 8 == 0 and oy + PH <= LH (the aligned-slice trick); callers

@@ -109,7 +109,7 @@ def _corr_pallas_32(lt_pad, t_pad, *, interpret=False):
 def match_scores_pallas(
     lightness_f32: jnp.ndarray,   # [B, H, W] f32
     template_u8: jnp.ndarray,     # [th, tw]
-    template_mean,                # f32 scalar
+    template_mean: float,         # f32 scalar
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, H, W = lightness_f32.shape
@@ -135,7 +135,7 @@ def match_scores_pallas(
     return corr - jnp.float32(template_mean) * box
 
 
-def kernel_squares_hint():
+def kernel_squares_hint() -> str:
     """Cost estimate hook (placeholder for compiler hints)."""
     return pl.CostEstimate(
         flops=2 * 63 * 192 * 128 * 256,

@@ -93,7 +93,7 @@ def _fused_kernel(l_ref, t_ref, tmean_ref, out_ref):
 def match_scores_pallas_fused(
     lightness_f32: jnp.ndarray,   # [B, H, W] f32
     template_u8: jnp.ndarray,     # [th, tw]
-    template_mean,                # f32 scalar
+    template_mean: float,         # f32 scalar
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, H, W = lightness_f32.shape

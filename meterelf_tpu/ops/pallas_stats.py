@@ -162,7 +162,8 @@ def _stats_fused_kernel(okey_ref, out_ref):
             jnp.full((1, 128), anym, i32))
 
 
-def stats_select_fused(okey3: jnp.ndarray, interpret: bool = False):
+def stats_select_fused(okey3: jnp.ndarray, interpret: bool = False
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """okey3 [K, W, W] or [K, N] i32 in the pack_closed layout
     (owner = okey3 >> 3, boundary bit = okey3 & 1, masked bit =
     (okey3 >> 1) & 1) -> (key_max [K] i32 as stats_select, has_any [K]

@@ -169,8 +169,10 @@ def _windows_kernel(sw_ref, disk_ref, cr_ref, hs_ref, bits_ref, *,
         origins=origins, centers=centers, div_impl=div_impl)
 
 
-def bits_from_sw(sw, disk, cr_ref, hs, *, origins, centers,
-                 div_impl="dekker"):
+def bits_from_sw(sw: jnp.ndarray, disk: jnp.ndarray,
+                 cr_ref: jnp.ndarray, hs: jnp.ndarray,
+                 *, origins: tuple, centers: tuple,
+                 div_impl: str = "dekker") -> jnp.ndarray:
     """Pure-value window-mask body: [SW_H, SW_W] i32 superwindow (value)
     -> [W, QUAD_W] i32 packed bits. Factored out of the kernel body so
     the merged frontend+windows kernel (ops/pallas_frontend.py, the
@@ -240,11 +242,11 @@ def window_bits_quads(
     superwindows: jnp.ndarray,   # [B, SW_H, SW_W] i32 packed BGR
     disk_quad: jnp.ndarray,      # [W, QUAD_W] i32 (0/1)
     color_range: jnp.ndarray,    # [D<=8, 3] i32
-    hue_shift,
-    origins,                     # ((ox, oy) per dial), python ints
-    centers,                     # ((cx, cy) per dial), python ints
+    hue_shift: int,
+    origins: tuple,              # ((ox, oy) per dial), python ints
+    centers: tuple,              # ((cx, cy) per dial), python ints
     interpret: bool = False,
-):
+) -> jnp.ndarray:
     """-> [B, W, QUAD_W] i32 packed mask bits (see module docstring)."""
     B = superwindows.shape[0]
     assert superwindows.shape[1:] == (SW_H, SW_W)

@@ -22,7 +22,7 @@ from jax import lax
 def match_template_scores(
     lightness_f32: jnp.ndarray,  # [B, H, W] f32
     template_zm: jnp.ndarray,    # [th, tw] f32 zero-mean
-    precision=lax.Precision.HIGHEST,
+    precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Valid cross-correlation -> [B, H-th+1, W-tw+1] f32 scores.
 
@@ -46,7 +46,7 @@ def match_template_scores_matmul(
     lightness_f32: jnp.ndarray,   # [B, H, W] f32
     template_u8: jnp.ndarray,     # [th, tw] integer-valued template
     template_mean: float,         # f64 scalar mean(template)
-    dtype=jnp.float32,
+    dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """MXU-native TM_CCOEFF: row-decomposed im2col matmul, 13x faster
     than the XLA conv on v5e with identical argmax behavior.

@@ -21,7 +21,7 @@ psum-class metric reductions do.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -73,7 +73,7 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
 
 
 def shard_host_batch(local_crops: np.ndarray, mesh: Mesh,
-                     axis: str = "data"):
+                     axis: str = "data") -> jax.Array:
     """Per-host sharded input feed: build a globally-sharded device
     array from this process's local slice of the batch.
 
@@ -86,7 +86,8 @@ def shard_host_batch(local_crops: np.ndarray, mesh: Mesh,
     return jax.make_array_from_process_local_data(sharding, local_crops)
 
 
-def data_parallel_decoder(decoder, mesh: Mesh, axis: str = "data"):
+def data_parallel_decoder(decoder: "MeterDecoder", mesh: Mesh,
+                          axis: str = "data") -> Callable:
     """Wrap a MeterDecoder so batches are sharded over the mesh's data
     axis. Global batch size must be divisible by the mesh size. Results
     come back with the same batch-dim sharding (host gathers lazily).
@@ -138,7 +139,8 @@ def data_parallel_decoder(decoder, mesh: Mesh, axis: str = "data"):
     return run
 
 
-def aggregate_metrics(values, err, mesh: Mesh, axis: str = "data"):
+def aggregate_metrics(values: jax.Array, err: jax.Array, mesh: Mesh,
+                      axis: str = "data") -> tuple:
     """Cross-chip aggregate statistics via psum-class collectives:
     (n_ok, n_err, mean value over ok) — the metric-reduction path for
     streaming deployments. The psums ride ICI within a slice and DCN

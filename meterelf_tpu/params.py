@@ -283,7 +283,7 @@ def _pad256(n: int) -> int:
     return max(256, -(-n // 256) * 256)
 
 
-def angle_by_vector(x: float, y: float):
+def angle_by_vector(x: float, y: float) -> float | None:
     """Host copy of the reference's angle convention
     (meterelf/_utils.py:18-42): fraction of a turn in [0, 1), 0 = up,
     clockwise; None for the zero vector. Uses math.atan exactly like the

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -394,7 +394,8 @@ def _decode_batch(
     )
 
 
-def pack_crops_device(crops_u8, pad_hw=None):
+def pack_crops_device(crops_u8: jnp.ndarray,
+                      pad_hw: tuple | None = None) -> jnp.ndarray:
     """Device-side analog of io.jpeg.pack_crops: [B, H, W, 3] u8 BGR ->
     [B, H, W] i32 packed (b | g<<8 | r<<16), zero-padded to pad_hw.
 
@@ -410,7 +411,8 @@ def pack_crops_device(crops_u8, pad_hw=None):
     return packed
 
 
-def make_coef_decode_fn(dec: "MeterDecoder", frame_wh):
+def make_coef_decode_fn(dec: "MeterDecoder",
+                        frame_wh: tuple) -> tuple:
     """Compose the device JPEG back-half (ops/jpegdec.py) with the
     decode graph: one jitted dispatch from entropy-decoded DCT
     coefficient windows to readings.
@@ -538,7 +540,8 @@ class MeterDecoder:
             load_ok = jnp.ones(crops_u8.shape[0], bool)
         return self._fn(self.param_arrays, crops_u8, load_ok)
 
-    def decode_numpy(self, crops_u8, load_ok=None):
+    def decode_numpy(self, crops_u8: np.ndarray,
+                     load_ok: Optional[np.ndarray] = None) -> BatchResult:
         """Decode and pull results to host numpy.
 
         If any image's CCL propagation failed to reach its fixpoint
@@ -551,7 +554,8 @@ class MeterDecoder:
         res = jax.tree.map(np.asarray, self(crops_u8, load_ok))
         return self.rescue_numpy(crops_u8, res, load_ok)
 
-    def rescue_numpy(self, crops_u8, res, load_ok=None):
+    def rescue_numpy(self, crops_u8: np.ndarray, res: BatchResult,
+                     load_ok: Optional[np.ndarray] = None) -> BatchResult:
         """Replace any non-converged rows of an already-computed (host)
         BatchResult for `crops_u8` via the rescue graph — the entry point
         for callers that dispatched the default graph themselves (e.g.

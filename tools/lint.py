@@ -7,6 +7,8 @@ tests/test_codequality.py. Checks:
 
 - F401 unused imports (module scope; ``__init__`` re-exports are
   exempt when listed in ``__all__`` or imported as ``x as x``)
+- ANN001/ANN201 public-API signature annotations (package code only:
+  module-level public defs + public methods of public classes)
 - E501 line length (< 88 columns)
 - E722 bare ``except:``
 - B006 mutable default arguments
@@ -129,6 +131,44 @@ def check_file(path: Path, *, is_package_code: bool) -> List[Finding]:
                     findings.append(
                         (rel, d.lineno,
                          f"B006 mutable default in '{node.name}'"))
+
+    if is_package_code:
+        findings.extend(_check_annotations(tree, rel))
+    return findings
+
+
+def _check_annotations(tree: ast.Module, rel: str) -> List[Finding]:
+    """ANN001/ANN201: the PUBLIC API surface of package code must carry
+    full signature annotations — module-level public functions and the
+    public methods of module-level public classes (nested closures and
+    underscore names are exempt). This is the typing gate that runs in
+    every environment; mypy (pyproject.toml config) additionally
+    type-checks wherever it is installed."""
+    findings: List[Finding] = []
+
+    def check_def(fn: ast.FunctionDef, qual: str) -> None:
+        args = fn.args
+        all_args = args.posonlyargs + args.args + args.kwonlyargs
+        missing = [a.arg for a in all_args
+                   if a.annotation is None and a.arg not in ("self", "cls")]
+        if missing:
+            findings.append(
+                (rel, fn.lineno,
+                 f"ANN001 unannotated args {missing} in '{qual}'"))
+        if fn.returns is None:
+            findings.append(
+                (rel, fn.lineno,
+                 f"ANN201 missing return annotation on '{qual}'"))
+
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if not node.name.startswith("_"):
+                check_def(node, node.name)
+        elif isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
+            for m in node.body:
+                if (isinstance(m, (ast.FunctionDef, ast.AsyncFunctionDef))
+                        and not m.name.startswith("_")):
+                    check_def(m, f"{node.name}.{m.name}")
     return findings
 
 
