@@ -254,9 +254,10 @@ def _decode_batch(
         lightness = color_ops.lightness_from_planes(
             b_pl, g_pl, r_pl).astype(jnp.float32)
         if conv_precision in ("matmul", "pallas"):
+            from ..ops.pallas_match2 import fits as _scorer_fits
             if (conv_precision == "pallas"
-                    and lightness.shape[1:] == (250, 250)
-                    and pa.template_u8.shape == (119, 188)):
+                    and _scorer_fits(*lightness.shape[1:],
+                                     *pa.template_u8.shape)):
                 from ..ops.pallas_match2 import match_scores_pallas_fused
                 scores = match_scores_pallas_fused(
                     lightness, pa.template_u8, tmean)

@@ -202,6 +202,37 @@ def test_fused_matcher_matches_v1_plus_boxsum():
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
 
 
+def test_fused_matcher_alt_geometry():
+    """The fused matcher is parametric over the padded shape family:
+    on the second shipped camera's 220x135 crop its decisions (argmax
+    location, near-threshold ordering) must match the XLA matmul
+    formulation; raw scores agree to f32 summation-order noise, orders
+    of magnitude below the corpus peak gaps (docs/parity.md)."""
+    from meterelf_tpu.ops import pallas_match2 as pm2
+    from meterelf_tpu.ops import template as template_ops
+
+    assert pm2.fits(135, 220, 119, 188)
+    assert not pm2.fits(100, 100, 119, 188)
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    interpret = dev.platform != "tpu"
+    rng = np.random.default_rng(11)
+    L = jnp.asarray(
+        rng.integers(0, 256, (3, 135, 220)).astype(np.float32))
+    T = jnp.asarray(rng.integers(0, 256, (119, 188)).astype(np.uint8))
+    tmean = jnp.float32(117.25)
+
+    ref = np.asarray(jax.jit(
+        lambda l: template_ops.match_template_scores_matmul(
+            l, T, tmean))(L))
+    got = np.asarray(jax.jit(functools.partial(
+        pm2.match_scores_pallas_fused, interpret=interpret))(L, T, tmean))
+    assert got.shape == ref.shape == (3, 17, 33)
+    assert np.allclose(got, ref, rtol=1e-4)
+    assert np.array_equal(got.reshape(3, -1).argmax(1),
+                          ref.reshape(3, -1).argmax(1))
+
+
 def _isolated_interpret_run(test_name):
     """Run one interpret-mode kernel test in a child pytest process.
 
