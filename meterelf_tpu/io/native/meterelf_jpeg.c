@@ -642,6 +642,14 @@ static void mej_src_stage(mej_chunk_src *src)
         && src->pub.next_input_byte >= src->data
         && src->pub.next_input_byte < src->data + src->size)
         resume = (unsigned long)(src->pub.next_input_byte - src->data);
+    if (src->scratch != NULL
+        && src->pub.next_input_byte >= src->scratch
+        && src->pub.next_input_byte < src->scratch + src->scratch_len) {
+        /* rolled back INTO the scratch tail: re-present its suffix
+         * (it already ends with the fake EOI) instead of dropping the
+         * unconsumed tail bytes */
+        return;
+    }
     while (src->skip_pending > 0 && resume < src->size) {
         unsigned long step = src->size - resume;
         if ((unsigned long)src->skip_pending < step)

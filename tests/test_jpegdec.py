@@ -116,7 +116,9 @@ def test_truncated_files_match_pixel_path():
     w, h = 480, 640
     rect = Rect(top_left=(50, 160), bottom_right=(300, 410))
     data = _encode(_rng_frame(rng, w, h), quality=85, subsampling=2)
-    cuts = [len(data) * k // 7 for k in range(1, 7)] + [len(data) - 1]
+    cuts = ([2, 40, 300, 700]                       # header-region cuts
+            + [len(data) * k // 7 for k in range(1, 7)]
+            + [len(data) - 1])
     for cut in cuts:
         trunc = data[:cut]
         packed_px, ok_px = jio.load_packed_crops_from_bytes(
