@@ -176,6 +176,90 @@ def _blocks_to_plane(s: jnp.ndarray, bh: int, bw: int) -> jnp.ndarray:
             .reshape(B, bh * 8, bw * 8))
 
 
+def _idct_1d_nodescale(d):
+    """The ISLOW butterfly of ``_idct_1d`` without the final descale —
+    used only to probe the pass's exact linear form (see _IDCT_MAT)."""
+    z2, z3 = d[2], d[6]
+    z1 = (z2 + z3) * _F_0_541196100
+    t2 = z1 - z3 * _F_1_847759065
+    t3 = z1 + z2 * _F_0_765366865
+    z2, z3 = d[0], d[4]
+    e0 = (z2 + z3) << 13
+    e1 = (z2 - z3) << 13
+    t10, t13 = e0 + t3, e0 - t3
+    t11, t12 = e1 + t2, e1 - t2
+    o0, o1, o2, o3 = d[7], d[5], d[3], d[1]
+    z1 = o0 + o3
+    z2 = o1 + o2
+    z3 = o0 + o2
+    z4 = o1 + o3
+    z5 = (z3 + z4) * _F_1_175875602
+    o0 = o0 * _F_0_298631336
+    o1 = o1 * _F_2_053119869
+    o2 = o2 * _F_3_072711026
+    o3 = o3 * _F_1_501321110
+    z1 = -z1 * _F_0_899976223
+    z2 = -z2 * _F_2_562915447
+    z3 = -z3 * _F_1_961570560 + z5
+    z4 = -z4 * _F_0_390180644 + z5
+    o0 = o0 + z1 + z3
+    o1 = o1 + z2 + z4
+    o2 = o2 + z2 + z3
+    o3 = o3 + z1 + z4
+    return [t10 + o3, t11 + o2, t12 + o1, t13 + o0,
+            t13 - o0, t12 - o1, t11 - o2, t10 - o3]
+
+
+def _idct_pass_matrix() -> np.ndarray:
+    """The 8x8 integer matrix M with butterfly(d) == M @ d before the
+    descale. The butterfly is a fixed integer linear map; i32 add/mul
+    wrap mod 2^32, a commutative ring, so ANY evaluation order —
+    including a plain dot product — produces bit-identical wrapped
+    values. Probed from the butterfly itself on unit vectors (exact
+    in int64: entries are small combinations of the FIX constants)."""
+    cols = []
+    for j in range(8):
+        e = [np.int64(1 if k == j else 0) for k in range(8)]
+        cols.append([int(v) for v in _idct_1d_nodescale(e)])
+    return np.array(cols, dtype=np.int32).T  # [out, in]
+
+
+_IDCT_MAT = _idct_pass_matrix()
+
+
+def idct_to_plane(coef: jnp.ndarray, qt: jnp.ndarray, bh: int,
+                  bw: int) -> jnp.ndarray:
+    """coef [B, bh*bw, 64] i16 + qt [B, 64] -> spatial u8 plane
+    [B, bh*8, bw*8], level-shifted and clamped like ``idct_blocks``.
+
+    Bit-identical to ``_blocks_to_plane(idct_blocks(...))`` but
+    relayout-free until the final block->plane step: each ISLOW pass is
+    the exact linear map _IDCT_MAT (mod-2^32 ring, see
+    _idct_pass_matrix) applied as an i32 dot_general over the 8-length
+    row/column axis of the NATURAL [B, NB, 8, 8] layout — no
+    coefficient transpose, no stacked butterfly intermediate. The
+    measured butterfly formulation spent most of its time in those
+    relayouts, not arithmetic (experiments/jpegdec_prof.py)."""
+    from jax import lax
+    B, NB = coef.shape[0], coef.shape[1]
+    m = jnp.asarray(_IDCT_MAT)
+    d4 = (coef.reshape(B, NB, 8, 8).astype(jnp.int32)
+          * qt.astype(jnp.int32).reshape(B, 1, 8, 8))
+    # pass 1 contracts the row axis; output lands as [B, NB, 8c, 8r']
+    # (contracted-out axis replaced by the matrix's output axis, which
+    # dot_general appends) — exactly the orientation pass 2 wants, so
+    # contracting axis 2 again yields natural [B, NB, 8r', 8c'] with no
+    # explicit transpose anywhere.
+    ws = _descale(lax.dot_general(
+        d4, m, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32), 11)
+    out = _descale(lax.dot_general(
+        ws, m, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32), 18)
+    o4 = jnp.clip(out + 128, 0, 255).astype(jnp.uint8)
+    return _blocks_to_plane(o4.reshape(B, NB, 64), bh, bw)
+
+
 def _upsample_h2v2_fancy(c: jnp.ndarray, ch_valid: int,
                          cw_valid: int) -> jnp.ndarray:
     """[B, ch, cw] u8 chroma plane -> [B, 2*ch, 2*cw] u8, libjpeg's
@@ -246,9 +330,9 @@ def backhalf_to_packed(
     staging layout, so the whole JPEG back-half fuses into the same jit
     graph that reads the dials."""
     cbh, cbw = win.lbh // 2, win.lbw // 2
-    sy = _blocks_to_plane(idct_blocks(coef_y, qt[:, 0]), win.lbh, win.lbw)
-    scb = _blocks_to_plane(idct_blocks(coef_cb, qt[:, 1]), cbh, cbw)
-    scr = _blocks_to_plane(idct_blocks(coef_cr, qt[:, 2]), cbh, cbw)
+    sy = idct_to_plane(coef_y, qt[:, 0], win.lbh, win.lbw)
+    scb = idct_to_plane(coef_cb, qt[:, 1], cbh, cbw)
+    scr = idct_to_plane(coef_cr, qt[:, 2], cbh, cbw)
     if _pallas_tail_ok(win, pad_hw):
         from .pallas_jpeg import upsample_color_pack
         return upsample_color_pack(sy, scb, scr, win, pad_hw)

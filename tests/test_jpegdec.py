@@ -261,3 +261,22 @@ def test_coef_window_geometry():
     # window stays inside the chroma block grid
     assert win.lbx0 % 2 == 0 and win.lbw % 2 == 0
     assert 8 * (win.lbx0 + win.lbw) <= 16 * ((480 + 15) // 16)
+
+def test_matrix_idct_matches_butterfly():
+    """idct_to_plane's dot_general formulation is bit-identical to the
+    ISLOW butterfly (idct_blocks) — including i32-wraparound magnitudes
+    far beyond any valid JPEG, since both evaluate the same linear map
+    in the mod-2^32 ring (jidctint.c's own overflow semantics)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    B, bh, bw = 2, 3, 5
+    for hi in (2048, 32768):
+        coef = rng.integers(-hi, hi, (B, bh * bw, 64)).astype(np.int16)
+        qt = rng.integers(1, 256, (B, 64)).astype(np.int32)
+        ref = jpegdec._blocks_to_plane(
+            jpegdec.idct_blocks(jnp.asarray(coef), jnp.asarray(qt)),
+            bh, bw)
+        got = jpegdec.idct_to_plane(
+            jnp.asarray(coef), jnp.asarray(qt), bh, bw)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
