@@ -864,8 +864,461 @@ static int mej_read_coefs_region_inner(const unsigned char *data,
 #undef src
 }
 
+/* ---------------- fast baseline coefficient reader ----------------
+ *
+ * Hand-rolled Huffman decode of the coefficient window for the common
+ * case: a CLEAN (untruncated, restart-consistent) 8-bit baseline
+ * sequential Huffman YCbCr 4:2:0 stream — i.e. every frame the camera
+ * actually produces. Compared to driving libjpeg's
+ * jpeg_read_coefficients it skips the whole-image virtual coefficient
+ * arrays (~1 MB alloc + zero per 640x480 frame), the per-image
+ * decompress-object lifecycle, and the chunked suspension machinery;
+ * coefficients land straight in the caller's window buffer and the
+ * entropy scan early-stops at the window's last iMCU row exactly like
+ * the libjpeg path.
+ *
+ * Returns 0 only on a fully clean decode. ANY anomaly — truncation,
+ * marker surprises, bogus Huffman runs, restart mismatch, unsupported
+ * layout, frame-size or window mismatch — returns nonzero and the
+ * caller falls back to the libjpeg suspension path, which owns all
+ * failure semantics (truncated-tail zero-fill, return codes), so
+ * behavior on non-clean inputs is byte-identical to before.
+ *
+ * Output conventions match libjpeg's decoder: coefficients stored in
+ * natural (raster) order via jpeg_natural_order (jdhuff.c does the
+ * same), quant tables are the last DQT definitions preceding SOS in
+ * natural order (as quant_tbl_ptrs holds them). */
+
+typedef struct {
+    uint8_t len;              /* code length for LUT hits; 0 = escape */
+    uint8_t sym;
+} mej_hlut;
+
+typedef struct {
+    mej_hlut lut[4096];       /* first 12 bits -> (len, symbol) */
+    int32_t maxcode[17];      /* per length; -1 when no codes */
+    int32_t mincode[17];
+    int32_t valptr[17];
+    uint8_t huffval[256];
+    int valid;
+} mej_htbl;
+
+static int mej_htbl_build(mej_htbl *t, const uint8_t counts[16],
+                          const uint8_t *symbols, int nsym)
+{
+    memset(t->lut, 0, sizeof(t->lut));
+    int32_t code = 0;
+    int k = 0;
+    for (int l = 1; l <= 16; l++) {
+        t->valptr[l] = k;
+        t->mincode[l] = code;
+        for (int i = 0; i < counts[l - 1]; i++, k++) {
+            if (k >= nsym || k >= 256)
+                return -1;
+            t->huffval[k] = symbols[k];
+            if (code >= (1 << l))
+                return -1;          /* overfull table */
+            if (l <= 12) {
+                int shift = 12 - l;
+                int base = code << shift;
+                for (int f = 0; f < (1 << shift); f++) {
+                    t->lut[base + f].len = (uint8_t)l;
+                    t->lut[base + f].sym = symbols[k];
+                }
+            }
+            code++;
+        }
+        t->maxcode[l] = counts[l - 1] ? code - 1 : -1;
+        code <<= 1;
+    }
+    t->valid = 1;
+    return 0;
+}
+
+typedef struct {
+    const uint8_t *p, *end;
+    uint64_t acc;             /* top-aligned bit buffer */
+    int n;                    /* valid bits in acc */
+    int marker;               /* 0, or marker code byte seen (consumed) */
+    int fault;
+} mej_br;
+
+static void mej_br_fill(mej_br *b)
+{
+    /* fast refill: grab as many whole bytes as fit in one 8-byte load
+     * when none of them is 0xFF (the overwhelmingly common case) */
+    while (b->n <= 56) {
+        if (b->marker)
+            return;
+        if (b->p + 8 <= b->end) {
+            int nb = (64 - b->n) >> 3;
+            uint64_t v;
+            memcpy(&v, b->p, 8);
+            v = __builtin_bswap64(v);
+            v &= ~0ULL << (64 - 8 * nb);      /* keep top nb bytes */
+            uint64_t t = v ^ ~0ULL;           /* FF bytes -> 00 */
+            if (((t - 0x0101010101010101ULL) & ~t
+                 & 0x8080808080808080ULL) == 0) {
+                b->acc |= v >> b->n;
+                b->p += nb;
+                b->n += 8 * nb;
+                continue;
+            }
+        }
+        if (b->p >= b->end)
+            return;
+        uint8_t v = *b->p++;
+        if (v == 0xFF) {
+            /* skip optional 0xFF fill bytes, then: 0x00 = stuffed data
+             * byte 0xFF, anything else = a marker (consume its code) */
+            while (b->p < b->end && *b->p == 0xFF)
+                b->p++;
+            if (b->p >= b->end) {
+                b->fault = 1;
+                return;
+            }
+            if (*b->p == 0x00) {
+                b->p++;       /* v stays 0xFF */
+            } else {
+                b->marker = *b->p++;
+                return;
+            }
+        }
+        b->acc |= (uint64_t)v << (56 - b->n);
+        b->n += 8;
+    }
+}
+
+static inline int mej_extend(uint32_t v, int s)
+{
+    return (int)v < (1 << (s - 1)) ? (int)v - (1 << s) + 1 : (int)v;
+}
+
+/* Decode the next Huffman code from the (already filled) buffer.
+ * Returns the symbol and stores the code length, or -1 on fault. The
+ * buffer's unfilled low bits are zero, so peeks are naturally
+ * zero-padded at stream end; the caller's length-vs-n check ensures a
+ * code never consumes padding. */
+static inline int mej_peekdec(mej_br *b, const mej_htbl *t, int *len)
+{
+    mej_hlut e = t->lut[(uint32_t)(b->acc >> 52)];
+    if (e.len) {
+        *len = e.len;
+        return e.sym;
+    }
+    uint32_t peek = (uint32_t)(b->acc >> 48);
+    for (int l = 13; l <= 16; l++) {
+        int32_t c = (int32_t)(peek >> (16 - l));
+        if (t->maxcode[l] >= 0 && c <= t->maxcode[l]) {
+            int idx = t->valptr[l] + (c - t->mincode[l]);
+            if (idx < 0 || idx >= 256)
+                return -1;
+            *len = l;
+            return t->huffval[idx];
+        }
+    }
+    return -1;
+}
+
+/* Decode one block; store into out (natural order, zeroed here — the
+ * caller's buffer is NOT assumed pre-zeroed) unless out is NULL.
+ * Hot-loop shape: ONE refill check per coefficient covers both the
+ * Huffman code (<=16 bits) and its value bits (<=15), decoded from a
+ * single top-aligned peek. */
+static int mej_fast_block(mej_br *br, const mej_htbl *dc,
+                          const mej_htbl *ac, int *pred, int16_t *out)
+{
+    if (out)
+        memset(out, 0, 64 * sizeof(int16_t));
+    int len;
+    if (br->n < 32)
+        mej_br_fill(br);
+    int s = mej_peekdec(br, dc, &len);
+    if (s < 0 || s > 15)
+        return -1;
+    if (s) {
+        if (len + s > br->n)
+            return -1;
+        uint32_t v = (uint32_t)((br->acc << len) >> (64 - s));
+        br->acc <<= len + s;
+        br->n -= len + s;
+        *pred += mej_extend(v, s);
+    } else {
+        if (len > br->n)
+            return -1;
+        br->acc <<= len;
+        br->n -= len;
+    }
+    if (out)
+        out[0] = (int16_t)*pred;
+    int k = 1;
+    while (k < 64) {
+        if (br->n < 32)
+            mej_br_fill(br);
+        int rs = mej_peekdec(br, ac, &len);
+        if (rs < 0)
+            return -1;
+        int r = rs >> 4, sz = rs & 15;
+        if (sz == 0) {
+            if (len > br->n)
+                return -1;
+            br->acc <<= len;
+            br->n -= len;
+            if (r != 15)
+                break;            /* EOB */
+            k += 16;
+        } else {
+            k += r;
+            if (k > 63)
+                return -1;        /* bogus run: let libjpeg deal */
+            if (len + sz > br->n)
+                return -1;
+            uint32_t v = (uint32_t)((br->acc << len) >> (64 - sz));
+            br->acc <<= len + sz;
+            br->n -= len + sz;
+            if (out)
+                out[jpeg_natural_order[k]] = (int16_t)mej_extend(v, sz);
+            k++;
+        }
+    }
+    return 0;
+}
+
+static int mej_fast_enabled(void)
+{
+    static int v = -1;
+    if (v < 0) {
+        const char *e = getenv("MEJ_FAST_COEFS");
+        v = !(e && e[0] == '0');
+    }
+    return v;
+}
+
+static int mej_fast_coefs(const unsigned char *data, unsigned long size,
+                          int lbx0, int lby0, int lbw, int lbh,
+                          int exp_w, int exp_h,
+                          int16_t *coefY, int16_t *coefCb,
+                          int16_t *coefCr, uint16_t *qt /* [3*64] */)
+{
+    const uint8_t *p = data, *end = data + size;
+    uint16_t qtab[4][64];
+    int qdef[4] = {0, 0, 0, 0};
+    mej_htbl dctbl[4], actbl[4];
+    int w = 0, h = 0, ncomp = 0, dri = 0;
+    int comp_tq[3] = {0, 0, 0}, comp_id[3] = {0, 0, 0};
+    int comp_dc[3] = {0, 0, 0}, comp_ac[3] = {0, 0, 0};
+    int have_sof = 0;
+    memset(dctbl, 0, sizeof(dctbl));
+    memset(actbl, 0, sizeof(actbl));
+
+    if (size < 4 || p[0] != 0xFF || p[1] != 0xD8)
+        return -1;
+    p += 2;
+    for (;;) {
+        /* next marker (skip fill bytes) */
+        if (p + 2 > end)
+            return -1;
+        if (*p != 0xFF)
+            return -1;
+        while (p < end && *p == 0xFF)
+            p++;
+        if (p >= end)
+            return -1;
+        uint8_t m = *p++;
+        if (m == 0xD8 || m == 0xD9 || (m >= 0xD0 && m <= 0xD7) || m == 0x01)
+            return -1;            /* unexpected before SOS */
+        if (p + 2 > end)
+            return -1;
+        unsigned int len = ((unsigned int)p[0] << 8) | p[1];
+        if (len < 2 || p + len > end)
+            return -1;
+        const uint8_t *q = p + 2, *qend = p + len;
+        p += len;
+        if (m == 0xC0 || m == 0xC1) {            /* SOF0/1 */
+            if (have_sof || qend - q < 6)
+                return -1;
+            if (q[0] != 8)
+                return -1;
+            h = (q[1] << 8) | q[2];
+            w = (q[3] << 8) | q[4];
+            ncomp = q[5];
+            q += 6;
+            if (ncomp != 3 || qend - q < 9 || w <= 0 || h <= 0)
+                return -1;
+            for (int c = 0; c < 3; c++) {
+                comp_id[c] = q[0];
+                int samp = q[1];
+                comp_tq[c] = q[2];
+                q += 3;
+                if (comp_tq[c] > 3)
+                    return -1;
+                if (c == 0 && samp != 0x22)
+                    return -1;
+                if (c > 0 && samp != 0x11)
+                    return -1;
+            }
+            have_sof = 1;
+        } else if (m == 0xC4) {                  /* DHT */
+            while (q < qend) {
+                if (qend - q < 17)
+                    return -1;
+                int tc = q[0] >> 4, th = q[0] & 15;
+                if (tc > 1 || th > 3)
+                    return -1;
+                uint8_t counts[16];
+                int nsym = 0;
+                for (int i = 0; i < 16; i++) {
+                    counts[i] = q[1 + i];
+                    nsym += counts[i];
+                }
+                q += 17;
+                if (qend - q < nsym || nsym > 256)
+                    return -1;
+                mej_htbl *t = tc ? &actbl[th] : &dctbl[th];
+                if (mej_htbl_build(t, counts, q, nsym))
+                    return -1;
+                q += nsym;
+            }
+        } else if (m == 0xDB) {                  /* DQT */
+            while (q < qend) {
+                int pq = q[0] >> 4, tq = q[0] & 15;
+                if (pq != 0 || tq > 3)
+                    return -1;    /* 16-bit tables: libjpeg path */
+                q++;
+                if (qend - q < 64)
+                    return -1;
+                for (int i = 0; i < 64; i++)
+                    qtab[tq][jpeg_natural_order[i]] = q[i];
+                qdef[tq] = 1;
+                q += 64;
+            }
+        } else if (m == 0xDD) {                  /* DRI */
+            if (qend - q < 2)
+                return -1;
+            dri = (q[0] << 8) | q[1];
+        } else if (m == 0xDA) {                  /* SOS */
+            if (!have_sof || qend - q < 1 || q[0] != 3)
+                return -1;
+            q++;
+            if (qend - q < 9)
+                return -1;
+            for (int c = 0; c < 3; c++) {
+                if (q[0] != comp_id[c])
+                    return -1;    /* comps out of SOF order: fallback */
+                comp_dc[c] = q[1] >> 4;
+                comp_ac[c] = q[1] & 15;
+                if (comp_dc[c] > 3 || comp_ac[c] > 3)
+                    return -1;
+                q += 2;
+            }
+            if (q[0] != 0 || q[1] != 63 || q[2] != 0)
+                return -1;        /* not sequential full-band */
+            break;                /* entropy data follows at p */
+        } else if ((m >= 0xE0 && m <= 0xEF) || m == 0xFE) {
+            /* APPn/COM: skipped above */
+        } else {
+            return -1;            /* SOF2+, DAC, DNL, ...: libjpeg path */
+        }
+    }
+
+    /* frame/window geometry (mirrors the libjpeg path's checks) */
+    if (exp_w > 0 && (w != exp_w || h != exp_h))
+        return -1;
+    int wb_pad = 2 * ((w + 15) / 16);   /* MCU-padded luma block grid */
+    int hb_pad = 2 * ((h + 15) / 16);
+    int cbw_img = (w + 15) / 16, cbh_img = (h + 15) / 16;
+    int cbx0 = lbx0 / 2, cby0 = lby0 / 2;
+    int cbw = lbw / 2, cbh = lbh / 2;
+    if (lbx0 < 0 || lby0 < 0 || lbw <= 0 || lbh <= 0
+        || ((lbx0 | lby0 | lbw | lbh) & 1)
+        || lbx0 + lbw > wb_pad || lby0 + lbh > hb_pad
+        || cbx0 + cbw > cbw_img || cby0 + cbh > cbh_img)
+        return -1;
+    for (int c = 0; c < 3; c++) {
+        if (!qdef[comp_tq[c]] || !dctbl[comp_dc[c]].valid
+            || !actbl[comp_ac[c]].valid)
+            return -1;
+        for (int i = 0; i < 64; i++)
+            qt[c * 64 + i] = qtab[comp_tq[c]][i];
+    }
+
+    mej_br br;
+    br.p = p;
+    br.end = end;
+    br.acc = 0;
+    br.n = 0;
+    br.marker = 0;
+    br.fault = 0;
+
+    int mcux = (w + 15) / 16, mcuy = (h + 15) / 16;
+    int stop_imcu = (lby0 + lbh + 1) / 2;
+    if (stop_imcu > mcuy)
+        stop_imcu = mcuy;
+    int pred[3] = {0, 0, 0};
+    int togo = dri, rstn = 0;
+    const mej_htbl *ydc = &dctbl[comp_dc[0]], *yac = &actbl[comp_ac[0]];
+    const mej_htbl *bdc = &dctbl[comp_dc[1]], *bac = &actbl[comp_ac[1]];
+    const mej_htbl *rdc = &dctbl[comp_dc[2]], *rac = &actbl[comp_ac[2]];
+
+    for (int my = 0; my < stop_imcu; my++) {
+        for (int mx = 0; mx < mcux; mx++) {
+            if (dri && togo == 0) {
+                /* restart boundary: discard pad bits, expect RSTn */
+                br.acc = 0;
+                br.n = 0;
+                if (!br.marker) {
+                    const uint8_t *r = br.p;
+                    if (r >= br.end || *r != 0xFF)
+                        return -1;
+                    while (r < br.end && *r == 0xFF)
+                        r++;
+                    if (r >= br.end)
+                        return -1;
+                    br.marker = *r++;
+                    br.p = r;
+                }
+                if (br.marker != 0xD0 + rstn)
+                    return -1;    /* resync needed: libjpeg path */
+                br.marker = 0;
+                rstn = (rstn + 1) & 7;
+                pred[0] = pred[1] = pred[2] = 0;
+                togo = dri;
+            }
+            for (int sub = 0; sub < 4; sub++) {
+                int by = 2 * my + (sub >> 1), bx = 2 * mx + (sub & 1);
+                int16_t *out = NULL;
+                if (bx >= lbx0 && bx < lbx0 + lbw
+                    && by >= lby0 && by < lby0 + lbh)
+                    out = coefY
+                        + ((size_t)(by - lby0) * lbw + (bx - lbx0)) * 64;
+                if (mej_fast_block(&br, ydc, yac, &pred[0], out))
+                    return -1;
+            }
+            {
+                int in_cwin = (mx >= cbx0 && mx < cbx0 + cbw
+                               && my >= cby0 && my < cby0 + cbh);
+                size_t coff =
+                    ((size_t)(my - cby0) * cbw + (mx - cbx0)) * 64;
+                if (mej_fast_block(&br, bdc, bac, &pred[1],
+                                   in_cwin ? coefCb + coff : NULL))
+                    return -1;
+                if (mej_fast_block(&br, rdc, rac, &pred[2],
+                                   in_cwin ? coefCr + coff : NULL))
+                    return -1;
+            }
+            if (dri)
+                togo--;
+        }
+    }
+    return 0;
+}
+
 /* Wrapper owning the suspension source (frees the truncated-stream
- * scratch buffer on every exit path, including longjmp errors). */
+ * scratch buffer on every exit path, including longjmp errors). Tries
+ * the fast baseline reader first; the libjpeg suspension path is the
+ * fallback that owns all failure semantics. (Window blocks the fast
+ * path may have partially written are fully overwritten by the
+ * fallback's memcpys.) */
 static int mej_read_coefs_region(const unsigned char *data,
                                  unsigned long size,
                                  int lbx0, int lby0, int lbw, int lbh,
@@ -873,6 +1326,10 @@ static int mej_read_coefs_region(const unsigned char *data,
                                  int16_t *coefY, int16_t *coefCb,
                                  int16_t *coefCr, uint16_t *qt /* [3*64] */)
 {
+    if (mej_fast_enabled()
+        && mej_fast_coefs(data, size, lbx0, lby0, lbw, lbh, exp_w, exp_h,
+                          coefY, coefCb, coefCr, qt) == 0)
+        return 0;
     mej_chunk_src src;
     src.scratch = NULL;
     src.scratch_len = 0;
