@@ -39,6 +39,8 @@ BATCH = int(os.environ.get("METERELF_BENCH_BATCH", "256"))
 REPLAY_FRAMES = (10240 // BATCH) * BATCH if BATCH > 512 else 10240
 SAMPLE1 = "/root/reference/sample-images1"
 GOLDEN1 = "/root/reference/integration-tests/test_all_sample_images.expected_stdout"
+SAMPLE2 = "/root/reference/sample-images2"
+GOLDEN2 = "/root/reference/tests/sample-images2_stdout.txt"
 
 
 def probe_backend(attempts: int = 3, timeout_s: int = 120) -> None:
@@ -96,37 +98,102 @@ def main() -> None:
     dec = MeterDecoder(params, exact=True)
 
     if files:
-        crops_u8, ok_c = jio.load_crops(files, params.meter_rect)
-        pad = (jio.frontend_pad_hw()
-               if crops_u8.shape[1:3] == (250, 250) else None)
-        crops_c = jio.pack_crops(crops_u8, pad_hw=pad)
+        crops_c, ok_c = load_packed(dec, params, files, jio)
     else:
         from meterelf_tpu import synthetic
         crops_c = jio.pack_crops(synthetic.render_crops(
             [[(i * 1.3 + d) % 10 for d in range(4)] for i in range(64)]))
         ok_c = np.ones(64, bool)
 
-    # correctness gate on the real corpus before timing
+    # correctness gate on the real corpus before timing: EVERY rendered
+    # output line (values AND error rows) must be byte-identical to the
+    # golden stdout — a regression that errors a good frame or turns a
+    # corrupt frame into a wrong-but-erroring row fails the gate too
     if files:
-        res = dec.decode_numpy(crops_c, ok_c)
-        golden = dict(
-            l.split(": ", 1) for l in open(GOLDEN1).read().splitlines())
-        n_bad = 0
-        for i, f in enumerate(files):
-            base = os.path.basename(f)
-            if int(res.err[i]) == 0:
-                got = "{:07.3f}".format(float(res.value[i]))
-                exp = golden[base]
-                n_bad += not exp.startswith(got)
-        assert n_bad == 0, (
-            f"{n_bad} readings diverge from golden — "
-            "not benching a wrong pipeline")
+        check_golden(dec, params, files, crops_c, ok_c, GOLDEN1)
 
-    # build the replay set: tile corpus to REPLAY_FRAMES and stage on
-    # device as [n_batches, BATCH, ...]; the whole replay runs as ONE
-    # jitted lax.map dispatch so host/tunnel dispatch latency cannot
-    # pollute the measurement. The clock stops on a scalar checksum
-    # readback (the only trustworthy barrier over the axon tunnel).
+    value = replay_rate(dec, crops_c, ok_c)
+
+    e2e = end_to_end_rate(dec, params, files) if files else None
+
+    record = {
+        "metric": "images_per_sec_per_chip_batched_decode",
+        "value": round(value, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(value / BASELINE_TARGET, 3),
+    }
+    if e2e is not None:
+        e2e_rate, host_rate = e2e
+        record["end_to_end_img_s"] = round(e2e_rate, 1)
+        record["host_decode_img_s"] = round(host_rate, 1)
+        record["host_cores"] = os.cpu_count()
+    if files:
+        ce2e, centropy, per_core, sweep = end_to_end_rate_coef(
+            dec, params, files)
+        record["end_to_end_coef_img_s"] = round(ce2e, 1)
+        record["host_entropy_img_s"] = round(centropy, 1)
+        record["host_entropy_img_s_per_core"] = round(per_core, 1)
+        record["host_entropy_sweep"] = {
+            str(t): round(r, 1) for t, r in sweep.items()}
+        # how many host cores ONE chip at the headline rate needs when
+        # the host runs only the entropy stage (the coefficient feed's
+        # per-core floor; VERDICT r2 asked for this figure explicitly)
+        record["host_feed_cores_per_chip"] = round(value / per_core, 1)
+        record["device_incl_jpeg_backhalf_img_s"] = round(
+            device_rate_with_backhalf(dec, params, files), 1)
+    # second shipped camera (sample-images2): same replay harness, its
+    # own params/decoder — the framework number, not the flagship's
+    if os.path.isdir(SAMPLE2):
+        params2 = Params.load(f"{SAMPLE2}/params.yml")
+        files2 = sorted(glob(f"{SAMPLE2}/*.jpg"))
+        dec2 = MeterDecoder(params2, exact=True)
+        crops2, ok2 = load_packed(dec2, params2, files2, jio)
+        check_golden(dec2, params2, files2, crops2, ok2, GOLDEN2)
+        record["camera2_img_s"] = round(replay_rate(dec2, crops2, ok2), 1)
+    print(json.dumps(record))
+
+
+def load_packed(dec, params, files, jio):
+    """Corpus -> packed crops at the decoder's preferred staging pad."""
+    crops_u8, ok = jio.load_crops(files, params.meter_rect)
+    pad = (dec.feed_pad_hw
+           if dec.feed_pad_hw != crops_u8.shape[1:3] else None)
+    return jio.pack_crops(crops_u8, pad_hw=pad), ok
+
+
+def check_golden(dec, params, files, crops_c, ok_c, golden_path):
+    """Render EVERY output line (cli.format_result on the real decode
+    results, error rows included) and require byte-equality with the
+    golden stdout for this corpus."""
+    from meterelf_tpu.api import result_to_data
+    from meterelf_tpu.cli import format_result
+
+    res = dec.decode_numpy(crops_c, ok_c)
+    golden = open(golden_path).read().splitlines()
+    # full path in (the match-failure rescore reads the file),
+    # basename out (the goldens were recorded with cwd = sample dir)
+    got = [
+        format_result(
+            result_to_data(f, res, i, params)
+            ._replace(filename=os.path.basename(f)))
+        for i, f in enumerate(files)
+    ]
+    bad = [(g, e) for g, e in zip(got, golden) if g != e]
+    assert len(got) == len(golden) and not bad, (
+        f"{len(bad)} of {len(got)} rendered lines diverge from "
+        f"{golden_path} — not benching a wrong pipeline; first: "
+        f"{bad[0] if bad else (len(got), len(golden))}")
+
+
+def replay_rate(dec, crops_c, ok_c) -> float:
+    """Device-resident replay throughput (img/s) for one decoder.
+
+    Tiles the corpus to REPLAY_FRAMES, stages it on device as
+    [n_batches, BATCH, ...], and runs the whole replay as ONE jitted
+    lax.map dispatch so host/tunnel dispatch latency cannot pollute the
+    measurement. The clock stops on a scalar checksum readback (the
+    only trustworthy barrier over the axon tunnel)."""
+    import jax
     import jax.numpy as jnp
     from jax import lax
 
@@ -168,28 +235,7 @@ def main() -> None:
         checksum = float(replay(crops_dev, ok_dev))
         dt = min(dt, time.time() - t0)
         assert np.isfinite(checksum)
-    value = frames / dt
-
-    e2e = end_to_end_rate(dec, params, files) if files else None
-
-    record = {
-        "metric": "images_per_sec_per_chip_batched_decode",
-        "value": round(value, 1),
-        "unit": "img/s/chip",
-        "vs_baseline": round(value / BASELINE_TARGET, 3),
-    }
-    if e2e is not None:
-        e2e_rate, host_rate = e2e
-        record["end_to_end_img_s"] = round(e2e_rate, 1)
-        record["host_decode_img_s"] = round(host_rate, 1)
-        record["host_cores"] = os.cpu_count()
-    if files:
-        ce2e, centropy = end_to_end_rate_coef(dec, params, files)
-        record["end_to_end_coef_img_s"] = round(ce2e, 1)
-        record["host_entropy_img_s"] = round(centropy, 1)
-        record["device_incl_jpeg_backhalf_img_s"] = round(
-            device_rate_with_backhalf(dec, params, files), 1)
-    print(json.dumps(record))
+    return frames / dt
 
 
 def end_to_end_rate(dec, params, files, frames: int = 2048):
@@ -224,7 +270,7 @@ def end_to_end_rate(dec, params, files, frames: int = 2048):
     reps = -(-frames // len(datas_corpus))
     datas = (datas_corpus * reps)[: (frames // BATCH) * BATCH]
     chunks = [datas[i:i + BATCH] for i in range(0, len(datas), BATCH)]
-    pad = jio.frontend_pad_hw()
+    pad = dec.feed_pad_hw
     pa_dev = jax.device_put(dec.param_arrays)
     jax.block_until_ready(pa_dev)
 
@@ -267,10 +313,11 @@ def end_to_end_rate_coef(dec, params, files, frames: int = 2048):
     (io.jpeg.load_coef_feed) and the device finishes the JPEG
     (ops/jpegdec.py) inside the same dispatch that reads the dials.
 
-    Returns (end_to_end_img_s, host_entropy_img_s) — the second is the
-    host entropy-decode stage alone on all cores: the host-side cost
-    floor of ANY JPEG input path, and the honest per-core feed ceiling
-    of this one (the pixel path's host cost is host_decode_img_s).
+    Returns (end_to_end_img_s, host_entropy_img_s, per_core_img_s,
+    sweep) — host_entropy_img_s is the host entropy-decode stage alone
+    on all cores (the host-side cost floor of ANY JPEG input path),
+    per_core_img_s the measured 1-thread rate, and sweep the full
+    {threads: img/s} scaling curve of the C pool.
     Over the dev tunnel the e2e number is link-bound (coefficient
     windows are ~210 KB/frame vs the u8 crops' 187 KB)."""
     import jax
@@ -305,14 +352,20 @@ def end_to_end_rate_coef(dec, params, files, frames: int = 2048):
     dt = time.time() - t0
     assert np.isfinite(checksum)
 
-    # host entropy stage alone, all cores on deck
-    t0 = time.time()
-    for chunk in chunks:
-        jio.load_coef_feed(chunk, params.meter_rect, (480, 640), pad_hw,
-                           num_threads=os.cpu_count() or 1)
-    host_dt = time.time() - t0
+    # host entropy stage alone: sweep the C pool's thread count (the
+    # feed's scaling curve — VERDICT r2 item 4), 1-thread first so the
+    # per-core floor is a direct measurement, not a division
     n = len(chunks) * BATCH
-    return n / dt, n / host_dt
+    ncpu = os.cpu_count() or 1
+    threads = sorted({1, 2, 4, 8, ncpu} & set(range(1, ncpu + 1)))
+    sweep = {}
+    for t in threads:
+        t0 = time.time()
+        for chunk in chunks:
+            jio.load_coef_feed(chunk, params.meter_rect, (480, 640),
+                               pad_hw, num_threads=t)
+        sweep[t] = n / (time.time() - t0)
+    return n / dt, sweep[ncpu], sweep[1], sweep
 
 
 def device_rate_with_backhalf(dec, params, files):

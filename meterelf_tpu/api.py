@@ -159,9 +159,7 @@ def get_meter_values(
 
     def flush(batch: Sequence[str]) -> Iterator[MeterImageData]:
         rect = params.meter_rect
-        pad = (jpeg_io.frontend_pad_hw()
-               if (rect.height, rect.width) == (250, 250)
-               else (rect.height, rect.width))
+        pad = dec.feed_pad_hw
         datas = []
         for fn in batch:
             try:

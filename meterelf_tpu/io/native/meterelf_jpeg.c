@@ -940,7 +940,6 @@ typedef struct {
     uint64_t acc;             /* top-aligned bit buffer */
     int n;                    /* valid bits in acc */
     int marker;               /* 0, or marker code byte seen (consumed) */
-    int fault;
 } mej_br;
 
 static void mej_br_fill(mej_br *b)
@@ -973,10 +972,9 @@ static void mej_br_fill(mej_br *b)
              * byte 0xFF, anything else = a marker (consume its code) */
             while (b->p < b->end && *b->p == 0xFF)
                 b->p++;
-            if (b->p >= b->end) {
-                b->fault = 1;
-                return;
-            }
+            if (b->p >= b->end)
+                return;   /* truncated at a trailing 0xFF: the caller's
+                           * bit-count checks flag the starved decode */
             if (*b->p == 0x00) {
                 b->p++;       /* v stays 0xFF */
             } else {
@@ -1084,14 +1082,22 @@ static int mej_fast_block(mej_br *br, const mej_htbl *dc,
     return 0;
 }
 
+static int mej_fast_flag;
+static pthread_once_t mej_fast_once = PTHREAD_ONCE_INIT;
+
+static void mej_fast_init(void)
+{
+    const char *e = getenv("MEJ_FAST_COEFS");
+    mej_fast_flag = !(e && e[0] == '0');
+}
+
 static int mej_fast_enabled(void)
 {
-    static int v = -1;
-    if (v < 0) {
-        const char *e = getenv("MEJ_FAST_COEFS");
-        v = !(e && e[0] == '0');
-    }
-    return v;
+    /* resolved exactly once under pthread_once: mej_read_coefs_region
+     * is called concurrently from the pthreaded batch decoder, and a
+     * lazily-initialized plain static would be a C data race */
+    pthread_once(&mej_fast_once, mej_fast_init);
+    return mej_fast_flag;
 }
 
 static int mej_fast_coefs(const unsigned char *data, unsigned long size,
@@ -1248,7 +1254,6 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
     br.acc = 0;
     br.n = 0;
     br.marker = 0;
-    br.fault = 0;
 
     int mcux = (w + 15) / 16, mcuy = (h + 15) / 16;
     int stop_imcu = (lby0 + lbh + 1) / 2;

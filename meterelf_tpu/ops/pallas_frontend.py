@@ -52,6 +52,8 @@ on the full sample corpus.
 """
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -60,14 +62,73 @@ from jax.experimental.pallas import tpu as pltpu
 
 H_PAD = 264   # padded image rows (250 + superwindow slack, mult of 8)
 W_PAD = 384   # padded image cols (lane rotates need a 128-multiple width)
-OH, OW, TH, TW = 132, 63, 119, 188
+STAGE = 256   # canonical [STAGE, STAGE] VMEM staging block per image
+OH, OW, TH, TW = 132, 63, 119, 188   # the flagship-camera geometry
 OH_PAD = 136
-SW_H = 136    # superwindow rows  (>= TH + margin, mult of 8)
-SW_W = 256    # superwindow cols  (>= TW + margin, mult of 128)
-BANK_M = 3840  # 32 column-shifted template copies x 120 padded rows
-BANK_K = 224   # template cols 188 + 31 shifts <= 219, 32-aligned
-BLK = 120      # rows per copy: 119 real + 1 pad (8-aligned slices,
-               # strided-rotate spread 119 < 128)
+SW_H = 136    # superwindow rows  (>= template rows + margin, mult of 8)
+SW_W = 256    # superwindow cols  (>= template cols + margin, mult of 128)
+BANK_M = 3840  # (flagship) 32 column-shifted template copies x 120 rows
+BANK_K = 224   # (flagship) template cols 188 + 31 shifts <= 219, 32-aligned
+BLK = 120      # (flagship) rows per copy: 119 real + 1 pad (8-aligned
+               # slices, strided-rotate spread 119 < 128)
+
+
+class FrontendGeom(NamedTuple):
+    """Static per-camera kernel geometry. The kernel body is parametric
+    over this (round-3 generalization: the (250,250)/(119,188) literals
+    became the flagship instance of the family — the second shipped
+    camera's 135x220 crop and the synthetic ALT_CAMERA's 200x210 crop /
+    90x141 template ride the same kernel). Reference analog: the two
+    shipped params.yml files (/root/reference/sample-images{1,2})."""
+
+    crop_h: int   # true meter-rect crop rows (<= STAGE)
+    crop_w: int   # true meter-rect crop cols (<= STAGE)
+    th: int       # template rows
+    tw: int       # template cols
+    oh: int       # correlation output rows = crop_h - th + 1
+    ow: int       # correlation output cols = crop_w - tw + 1 (<= 128)
+    blk: int      # bank rows per shifted template copy (8-aligned >= th)
+    bank_k: int   # bank contraction dim (tw + 31 shifts, 32-aligned)
+    nx: int       # number of 32-column correlation matmuls = ceil(ow/32)
+    ow_pad: int   # 8-aligned >= ow (boxsum ones-bank rows)
+
+
+def geom_for(crop_h: int, crop_w: int,
+             th: int, tw: int) -> Optional[FrontendGeom]:
+    """The FrontendGeom for a (crop, template) pair, or None when the
+    geometry cannot ride the kernel's padded layout. Constraints:
+
+    - staging: the crop must fit the [STAGE, STAGE] VMEM block;
+    - x positions: ow <= 128 (the correlation scratch and the boxsum
+      ones-bank carry at most 128 sublanes);
+    - bank: blk = ceil8(th) <= 128 (the strided-rotate diagonal
+      reduction's per-vreg spread is blk-1, hardware cap 128) and every
+      32-column input slice must stay inside the 320-row transposed
+      image: (nx-1)*32 + bank_k <= STAGE + 64;
+    - superwindow: dial windows are DIAL_WIN=64 squares clipped inside
+      the template (params.py win_origin), so th in [64, SW_H] and
+      tw in [64, SW_W] keep every window inside the extracted
+      [SW_H, SW_W] superwindow."""
+    oh, ow = crop_h - th + 1, crop_w - tw + 1
+    if oh < 1 or not (1 <= ow <= 128):
+        return None
+    blk = -(-th // 8) * 8
+    bank_k = -(-(tw + 32) // 32) * 32
+    nx = -(-ow // 32)
+    ow_pad = -(-ow // 8) * 8
+    if not (crop_h <= STAGE and crop_w <= STAGE
+            and blk <= 128
+            and (nx - 1) * 32 + bank_k <= STAGE + 64
+            and 64 <= th <= SW_H and 64 <= tw <= SW_W):
+        return None
+    return FrontendGeom(crop_h, crop_w, th, tw, oh, ow,
+                        blk, bank_k, nx, ow_pad)
+
+
+def fits(crop_h: int, crop_w: int, th: int, tw: int) -> bool:
+    """Can (crop_h, crop_w) crops with a (th, tw) template ride the
+    fused frontend kernel? (See geom_for for the constraint list.)"""
+    return geom_for(crop_h, crop_w, th, tw) is not None
 
 
 def _prefix_sum(x, axis):
@@ -82,22 +143,22 @@ def _prefix_sum(x, axis):
 
 
 def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref,
-                     corr_ref):
-    """img_ref: [256, 256] i32 packed BGR (250x250 crop, zero padded;
-    the rotate pad to [H_PAD, W_PAD] is built in VMEM — feeding the
-    padded geometry from HBM cost 405 KB/image vs 262 KB).
-    bank_ref: [BANK_M, BANK_K] i8 shifted-template bank. c1_ref: [2] f32
+                     corr_ref, *, geom):
+    """img_ref: [STAGE, STAGE] i32 packed BGR (crop zero padded; the
+    rotate pad to [H_PAD, W_PAD] is built in VMEM — feeding the padded
+    geometry from HBM cost 405 KB/image vs 262 KB).
+    bank_ref: [32*blk, bank_k] i8 shifted-template bank. c1_ref: [2] f32
     SMEM = (128 - template_mean, c0 residual — see module docstring).
     sw_ref: [SW_H, SW_W] i32 superwindow. stat_ref: [8, 128] f32."""
     max_val, mx, my, sw = _frontend_core(img_ref, bank_ref, c1_ref,
-                                         corr_ref)
+                                         corr_ref, geom)
     sw_ref[...] = sw
     stat_ref[...] = _stat_tile(max_val, mx, my)
 
 
 def _frontend_windows_kernel(img_ref, bank_ref, c1_ref, disk_ref, cr_ref,
                              hs_ref, bits_ref, stat_ref, corr_ref, *,
-                             origins, centers, div_impl):
+                             geom, origins, centers, div_impl):
     """Merged frontend+windows kernel: the superwindow never leaves
     VMEM — the window-mask stage (ops/pallas_windows.bits_from_sw) runs
     on the in-register superwindow value, so its [SW_H, SW_W] i32 HBM
@@ -105,87 +166,89 @@ def _frontend_windows_kernel(img_ref, bank_ref, c1_ref, disk_ref, cr_ref,
     packed window-bit quad the CCL kernel consumes directly."""
     from .pallas_windows import bits_from_sw
     max_val, mx, my, sw = _frontend_core(img_ref, bank_ref, c1_ref,
-                                         corr_ref)
+                                         corr_ref, geom)
     bits_ref[...] = bits_from_sw(
         sw, disk_ref[...], cr_ref, hs_ref[0],
         origins=origins, centers=centers, div_impl=div_impl)
     stat_ref[...] = _stat_tile(max_val, mx, my)
 
 
-def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref):
+def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref, geom):
     """Shared scorer body -> (max_val, mx, my, superwindow VALUE)."""
     i32 = jnp.int32
     f32 = jnp.float32
+    g = geom
 
     v256 = img_ref[...]
-    # rotate pad built in VMEM (zeros beyond the 250x250 content)
+    # rotate pad built in VMEM (zeros beyond the crop content)
     v = jnp.concatenate(
-        [jnp.concatenate([v256, jnp.zeros((8, 256), jnp.int32)], axis=0),
-         jnp.zeros((H_PAD, W_PAD - 256), jnp.int32)], axis=1)
-    b = (v256 & i32(255)).astype(f32)
-    g = ((v256 >> 8) & i32(255)).astype(f32)
-    r = ((v256 >> 16) & i32(255)).astype(f32)
+        [jnp.concatenate(
+            [v256, jnp.zeros((H_PAD - STAGE, STAGE), jnp.int32)], axis=0),
+         jnp.zeros((H_PAD, W_PAD - STAGE), jnp.int32)], axis=1)
+    b_pl = (v256 & i32(255)).astype(f32)
+    g_pl = ((v256 >> 8) & i32(255)).astype(f32)
+    r_pl = ((v256 >> 16) & i32(255)).astype(f32)
     # exact cv2 L channel (ops/color.py lightness_from_planes semantics)
     scale = f32(1.0) / f32(255.0)
-    bs, gs, rs = b * scale, g * scale, r * scale
+    bs, gs, rs = b_pl * scale, g_pl * scale, r_pl * scale
     vmax = jnp.maximum(jnp.maximum(rs, gs), bs)
     vmin = jnp.minimum(jnp.minimum(rs, gs), bs)
     l256 = jnp.clip(jnp.round((vmax + vmin) * f32(0.5) * f32(255.0)),
-                    f32(0.0), f32(255.0))           # [256, 256] f32
+                    f32(0.0), f32(255.0))           # [STAGE, STAGE] f32
 
     # ---- correlation on the int8 MXU (transposed orientation) ----
     # convert to int8 BEFORE transposing: 4x less data to shuffle
     l8 = (l256.astype(i32) - i32(128)).astype(jnp.int8)
     lt8 = jnp.concatenate(
         [jnp.transpose(l8),
-         jnp.zeros((64, 256), jnp.int8)], axis=0)   # [320, 256] L-128
+         jnp.zeros((64, STAGE), jnp.int8)], axis=0)  # [STAGE+64] L-128
     bank = bank_ref[...]
 
-    for x32 in range(0, 64, 32):
-        sl = lt8[x32:x32 + BANK_K, :]
+    for x32 in range(0, g.nx * 32, 32):
+        sl = lt8[x32:x32 + g.bank_k, :]
         rx = lax.dot_general(
             bank, sl,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=i32)             # [BANK_M, 256] i32
-        for d in range(32):
-            blk = rx[d * BLK:(d + 1) * BLK, :]
-            # corr[y, x32+d] = sum_s blk[s, y + TH-1 - s]: one strided
-            # rotate (shift_s = s) + sublane sum; output lane y + TH-1.
+            preferred_element_type=i32)             # [32*blk, STAGE] i32
+        for d in range(min(32, g.ow - x32)):
+            blk = rx[d * g.blk:(d + 1) * g.blk, :]
+            # corr[y, x32+d] = sum_s blk[s, y + th-1 - s]: one strided
+            # rotate (shift_s = s) + sublane sum; output lane y + th-1.
             # Rows land in a VMEM scratch ref — a 64-way concat of
             # single-row vregs would repack 7/8-empty tiles instead.
             rr = pltpu.roll(blk, 0, 1, stride=1, stride_axis=0)
             corr_ref[x32 + d, :] = jnp.sum(rr, axis=0)
-    corrT_raw = corr_ref[...][0:OW, :]
-    corrT = pltpu.roll(corrT_raw, 256 - (TH - 1), 1).astype(f32)
+    corrT_raw = corr_ref[...][0:g.ow, :]
+    corrT = pltpu.roll(corrT_raw, STAGE - (g.th - 1), 1).astype(f32)
 
     # ---- boxsum of L-128 via a static ones-bank matmul ----
-    ob_r = lax.broadcasted_iota(i32, (64, 320), 0)
-    ob_c = lax.broadcasted_iota(i32, (64, 320), 1)
-    obank = ((ob_c >= ob_r) & (ob_c < ob_r + i32(TW))).astype(jnp.int8)
+    ob_r = lax.broadcasted_iota(i32, (g.ow_pad, STAGE + 64), 0)
+    ob_c = lax.broadcasted_iota(i32, (g.ow_pad, STAGE + 64), 1)
+    obank = ((ob_c >= ob_r) & (ob_c < ob_r + i32(g.tw))).astype(jnp.int8)
     rt = lax.dot_general(
         obank, lt8,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=i32)                 # [64, 256] row sums
+        preferred_element_type=i32)             # [ow_pad, STAGE] row sums
     cs = _prefix_sum(rt, 1)
-    top = pltpu.roll(cs, 256 - (TH - 1), 1)         # cs[., y + TH-1]
+    top = pltpu.roll(cs, STAGE - (g.th - 1), 1)     # cs[., y + th-1]
     bot = pltpu.roll(cs, 1, 1)                      # cs[., y - 1]
-    yl64 = lax.broadcasted_iota(i32, (64, 256), 1)
-    boxT = (top - jnp.where(yl64 >= 1, bot, i32(0)))[0:OW, :]
+    ylp = lax.broadcasted_iota(i32, (g.ow_pad, STAGE), 1)
+    boxT = (top - jnp.where(ylp >= 1, bot, i32(0)))[0:g.ow, :]
     scoresT = (corrT + c1_ref[0] * boxT.astype(f32)
-               + c1_ref[1])                         # [OW, 256]
+               + c1_ref[1])                         # [ow, STAGE]
 
     # ---- argmax with first-max row-major tie-break (x on sublanes) ----
-    xr = lax.broadcasted_iota(i32, (OW, 256), 0)
-    yl = lax.broadcasted_iota(i32, (OW, 256), 1)
-    in_range = yl < i32(OH)
+    xr = lax.broadcasted_iota(i32, (g.ow, STAGE), 0)
+    yl = lax.broadcasted_iota(i32, (g.ow, STAGE), 1)
+    in_range = yl < i32(g.oh)
     neg = f32(-3.0e38)
     smask = jnp.where(in_range, scoresT, neg)
     max_val = jnp.max(smask)
-    flat = yl * i32(OW) + xr
-    cand = jnp.where(smask == max_val, flat, i32(OH_PAD * OW))
+    flat = yl * i32(g.ow) + xr
+    cand = jnp.where(smask == max_val, flat, i32(g.oh * g.ow))
     sel = jnp.min(cand)
-    my = sel // i32(OW)
-    mx = sel % i32(OW)
+    my = sel // i32(g.ow)
+    mx = sel % i32(g.ow)
 
     # ---- superwindow extraction: rotate rows by my, cols by mx ----
     rot = pltpu.roll(v, i32(H_PAD) - my, 0)         # row i <- row i+my
@@ -204,34 +267,55 @@ def _stat_tile(max_val, mx, my):
     return stat
 
 
-def _template_bank(template_u8: jnp.ndarray) -> jnp.ndarray:
-    """[BANK_M, BANK_K] int8 bank: block d (rows d*BLK..) holds the
+def _template_bank(template_u8: jnp.ndarray,
+                   geom: FrontendGeom) -> jnp.ndarray:
+    """[32*blk, bank_k] int8 bank: block d (rows d*blk..) holds the
     row-reversed, -128-shifted template at column offset d:
-    bank[d*BLK + s, c] = T[TH-1-s, c-d] - 128 (0 off-support)."""
+    bank[d*blk + s, c] = T[th-1-s, c-d] - 128 (0 off-support)."""
     t_rev = (template_u8[::-1].astype(jnp.int32) - 128).astype(jnp.int8)
     blocks = [
-        jnp.pad(t_rev, ((0, BLK - TH), (d, BANK_K - TW - d)))
+        jnp.pad(t_rev, ((0, geom.blk - geom.th),
+                        (d, geom.bank_k - geom.tw - d)))
         for d in range(32)
     ]
     return jnp.concatenate(blocks, axis=0)
 
 
+def _resolve_geom(packed_img: jnp.ndarray, template_u8: jnp.ndarray,
+                  crop_hw) -> FrontendGeom:
+    """The FrontendGeom for a call: crop_hw when given (the batch may
+    arrive pre-staged at (STAGE, STAGE) or the legacy padded shape),
+    else the batch's own shape — falling back to the flagship crop when
+    the shape is a staging alias (pre-generalization callers)."""
+    th, tw = (int(template_u8.shape[0]), int(template_u8.shape[1]))
+    if crop_hw is None:
+        hw = tuple(int(v) for v in packed_img.shape[1:3])
+        crop_hw = (250, 250) if hw in ((STAGE, STAGE), (H_PAD, W_PAD)) \
+            else hw
+    geom = geom_for(int(crop_hw[0]), int(crop_hw[1]), th, tw)
+    assert geom is not None, (
+        f"geometry crop={crop_hw} template={(th, tw)} outside the "
+        "frontend shape family (see geom_for())")
+    return geom
+
+
 def _stage_img(packed_img: jnp.ndarray,
-               template_u8: jnp.ndarray) -> jnp.ndarray:
+               geom: FrontendGeom) -> jnp.ndarray:
     """Stage a [B, H, W] packed-BGR batch to the kernels' canonical
-    [B*256, 256] VMEM block layout (shared by frontend_pallas and
+    [B*STAGE, STAGE] VMEM block layout (shared by frontend_pallas and
     frontend_windows_pallas — keep the accepted geometries in sync)."""
     B, H, W = packed_img.shape
-    assert ((H, W) in ((250, 250), (256, 256), (H_PAD, W_PAD))
-            and tuple(template_u8.shape) == (TH, TW)), (
-        "pallas frontend is specialized to the meterelf shape family")
-    if (H, W) == (256, 256):         # host staged the canonical shape
-        return packed_img.reshape(B * 256, 256)
+    assert (H, W) in ((geom.crop_h, geom.crop_w), (STAGE, STAGE),
+                      (H_PAD, W_PAD)), (
+        f"batch staged at {(H, W)}, expected the true crop "
+        f"{(geom.crop_h, geom.crop_w)} or a staging alias")
+    if (H, W) == (STAGE, STAGE):     # host staged the canonical shape
+        return packed_img.reshape(B * STAGE, STAGE)
     if (H, W) == (H_PAD, W_PAD):     # legacy padded geometry
-        return packed_img[:, :256, :256].reshape(B * 256, 256)
-    img_pad = jnp.zeros((B, 256, 256), jnp.int32)
+        return packed_img[:, :STAGE, :STAGE].reshape(B * STAGE, STAGE)
+    img_pad = jnp.zeros((B, STAGE, STAGE), jnp.int32)
     img_pad = img_pad.at[:, :H, :W].set(packed_img)
-    return img_pad.reshape(B * 256, 256)
+    return img_pad.reshape(B * STAGE, STAGE)
 
 
 def frontend_pallas(
@@ -239,26 +323,31 @@ def frontend_pallas(
     template_u8: jnp.ndarray,   # [th, tw]
     template_mean: float,       # f32 scalar (Tsum / (th*tw))
     interpret: bool = False,
+    crop_hw: Optional[tuple] = None,  # true (H, W) of the meter crop
 ) -> tuple:
     """-> (max_val [B] f32, mx [B] i32, my [B] i32,
            superwindow [B, SW_H, SW_W] i32 packed BGR at (my, mx))."""
+    import functools
+
     B = packed_img.shape[0]
-    img_pad = _stage_img(packed_img, template_u8)
+    geom = _resolve_geom(packed_img, template_u8, crop_hw)
+    img_pad = _stage_img(packed_img, geom)
     c1 = _c1_for(template_u8, template_mean)
 
     with jax.enable_x64(False):
-        bank = _template_bank(template_u8)
+        bank = _template_bank(template_u8, geom)
         sw, stat = pl.pallas_call(
-            _frontend_kernel,
+            functools.partial(_frontend_kernel, geom=geom),
             out_shape=(
                 jax.ShapeDtypeStruct((B * SW_H, SW_W), jnp.int32),
                 jax.ShapeDtypeStruct((B * 8, 128), jnp.float32),
             ),
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((256, 256), lambda i: (i, 0),
+                pl.BlockSpec((STAGE, STAGE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BANK_M, BANK_K), lambda i: (0, 0),
+                pl.BlockSpec((32 * geom.blk, geom.bank_k),
+                             lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -268,7 +357,7 @@ def frontend_pallas(
                 pl.BlockSpec((8, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((64, 256), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((geom.nx * 32, STAGE), jnp.int32)],
             interpret=interpret,
         )(img_pad, bank, c1)
 
@@ -301,6 +390,7 @@ def frontend_windows_pallas(
     origins: tuple,             # ((ox, oy) per dial), python ints
     centers: tuple,             # ((cx, cy) per dial), python ints
     interpret: bool = False,
+    crop_hw: Optional[tuple] = None,  # true (H, W) of the meter crop
 ) -> tuple:
     """Merged frontend+windows call: -> (max_val [B] f32, mx [B] i32,
     my [B] i32, bits [B, 64, 256] i32 packed window-mask quad — the
@@ -311,7 +401,8 @@ def frontend_windows_pallas(
     B = packed_img.shape[0]
     D = len(origins)
     assert D * 64 == 256, "merged kernel is specialized to 4 dials"
-    img_pad = _stage_img(packed_img, template_u8)
+    geom = _resolve_geom(packed_img, template_u8, crop_hw)
+    img_pad = _stage_img(packed_img, geom)
     c1 = _c1_for(template_u8, template_mean)
 
     cr = jnp.zeros((8, 128), jnp.int32)
@@ -320,6 +411,7 @@ def frontend_windows_pallas(
 
     kernel = functools.partial(
         _frontend_windows_kernel,
+        geom=geom,
         origins=tuple((int(x), int(y)) for x, y in origins),
         centers=tuple((int(x), int(y)) for x, y in centers),
         div_impl="f64" if interpret else "dekker")
@@ -327,7 +419,7 @@ def frontend_windows_pallas(
     ctx = (contextlib.nullcontext() if interpret    # f64 div needs x64
            else jax.enable_x64(False))
     with ctx:
-        bank = _template_bank(template_u8)
+        bank = _template_bank(template_u8, geom)
         bits, stat = pl.pallas_call(
             kernel,
             out_shape=(
@@ -336,9 +428,10 @@ def frontend_windows_pallas(
             ),
             grid=(B,),
             in_specs=[
-                pl.BlockSpec((256, 256), lambda i: (i, 0),
+                pl.BlockSpec((STAGE, STAGE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BANK_M, BANK_K), lambda i: (0, 0),
+                pl.BlockSpec((32 * geom.blk, geom.bank_k),
+                             lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((64, 256), lambda i: (0, 0),
@@ -353,7 +446,7 @@ def frontend_windows_pallas(
                 pl.BlockSpec((8, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((64, 256), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((geom.nx * 32, STAGE), jnp.int32)],
             interpret=interpret,
         )(img_pad, bank, c1, disk_quad, cr, hs)
 

@@ -157,12 +157,12 @@ def _decode_batch(
     if not crop_hw or crops.ndim == 4:
         crop_hw = tuple(crops.shape[1:3])
 
-    from ..ops.pallas_frontend import H_PAD as _FE_H, W_PAD as _FE_W
+    from ..ops.pallas_frontend import (
+        H_PAD as _FE_H, STAGE as _FE_S, W_PAD as _FE_W, fits as _fe_fits)
     use_frontend = (
         conv_precision == "pallas"
-        and crop_hw == (250, 250)
-        and packed.shape[1:3] in ((250, 250), (256, 256), (_FE_H, _FE_W))
-        and pa.template_u8.shape == (119, 188)
+        and _fe_fits(*crop_hw, *pa.template_u8.shape)
+        and packed.shape[1:3] in (crop_hw, (_FE_S, _FE_S), (_FE_H, _FE_W))
         and static_win_origin is not None
         and len(static_win_origin) == D
     )
@@ -191,12 +191,13 @@ def _decode_batch(
                 max_val, mx, my, bits = frontend_windows_pallas(
                     packed, pa.template_u8, tmean, disk_quad,
                     pa.color_range, pa.hue_shift,
-                    static_win_origin, static_centers)     # [B, W, 4W]
+                    static_win_origin, static_centers,
+                    crop_hw=crop_hw)                       # [B, W, 4W]
             else:
                 from ..ops.pallas_frontend import frontend_pallas
                 from ..ops.pallas_windows import window_bits_quads
                 max_val, mx, my, sw = frontend_pallas(
-                    packed, pa.template_u8, tmean)
+                    packed, pa.template_u8, tmean, crop_hw=crop_hw)
                 bits = window_bits_quads(
                     sw, disk_quad, pa.color_range, pa.hue_shift,
                     static_win_origin, static_centers)     # [B, W, 4W]
@@ -229,7 +230,7 @@ def _decode_batch(
             # dial windows at STATIC offsets within the superwindow
             from ..ops.pallas_frontend import frontend_pallas
             max_val, mx, my, sw = frontend_pallas(
-                packed, pa.template_u8, tmean)
+                packed, pa.template_u8, tmean, crop_hw=crop_hw)
             masked_l, closed_l = [], []
             for i in range(D):
                 ox, oy = static_win_origin[i]
@@ -437,7 +438,8 @@ def make_coef_decode_fn(dec: "MeterDecoder",
     rect = dec.params.meter_rect
     win = jpegdec.coef_window(rect, frame_wh[0], frame_wh[1])
     crop_hw = (rect.height, rect.width)
-    pad_hw = frontend_pad_hw() if crop_hw == (250, 250) else None
+    pad_hw = (frontend_pad_hw()
+              if dec.feed_pad_hw != crop_hw else None)
 
     @jax.jit
     def step(pa, cy, cb, cr, qt, ok, fb_packed, fb_idx):
@@ -510,6 +512,18 @@ class MeterDecoder:
                 **{k: getattr(pa, k).astype(np.float32) for k in f32})
         self.param_arrays = pa
         self.crop_shape = (params.meter_rect.height, params.meter_rect.width, 3)
+        # the staging shape host feeders should pad packed crops to:
+        # the frontend's canonical block when this decoder will take the
+        # fused Pallas path, else the bare crop (generalized gate — any
+        # camera geometry inside the frontend family rides the kernel)
+        from ..io.jpeg import frontend_pad_hw as _fe_pad
+        from ..ops.pallas_frontend import fits as _fe_fits
+        _crop_hw = (params.meter_rect.height, params.meter_rect.width)
+        self.feed_pad_hw = (
+            _fe_pad()
+            if (conv_precision == "pallas"
+                and _fe_fits(*_crop_hw, *pa.template_u8.shape))
+            else _crop_hw)
         # window origins as static python ints: lets the Pallas frontend
         # path slice dial windows from the superwindow at compile time
         win_origin_static = tuple(

@@ -6,12 +6,14 @@ can be exercised — entry-point compile checks, multi-chip dry runs,
 self-validating end-to-end tests — without the reference sample corpus.
 
 Parameterized by `SyntheticCamera`: the module-level functions serve the
-DEFAULT camera (the reference's 188x119-template / 250x250-crop shape
-family, which rides the fused TPU frontend), while `ALT_CAMERA` is a
-deliberately different geometry (141x90 template, 210x200 crop) that
-exercises the generic XLA decode paths end-to-end — proof the framework
-is not hardwired to one camera (reference analog: the two shipped
-params.yml files, sample-images1/2)."""
+DEFAULT camera (the reference's 188x119-template / 250x250-crop shape),
+while `ALT_CAMERA` is a deliberately different geometry (141x90
+template, 210x200 crop) — proof the framework is not hardwired to one
+camera (reference analog: the two shipped params.yml files,
+sample-images1/2). Since the round-3 frontend generalization both
+cameras sit inside the fused-kernel shape family
+(ops/pallas_frontend.geom_for); the generic XLA decode paths are
+exercised via conv_precision="matmul" (the CPU default)."""
 from __future__ import annotations
 
 import dataclasses
@@ -175,8 +177,8 @@ class SyntheticCamera:
 DEFAULT_CAMERA = SyntheticCamera()
 
 # A second, deliberately different geometry: smaller template, different
-# crop size, shifted dial layout. Never matches the fused-frontend shape
-# family, so every decode of it runs the generic XLA paths.
+# crop size, shifted dial layout. Rides the (generalized) fused frontend
+# on TPU like any in-family camera; CPU decodes of it take the XLA path.
 ALT_CAMERA = SyntheticCamera(
     template_h=90,
     template_w=141,

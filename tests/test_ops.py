@@ -338,6 +338,103 @@ def test_int8_frontend_kernel_exact():
                               rot[:fe.SW_H, :fe.SW_W])
 
 
+GEOM_CAMERAS = {
+    # the second shipped camera's shape: 220x135 crop, 188x119 template
+    # (/root/reference/sample-images2/params.yml)
+    "camera2shape": dict(meter_rect_wh=(220, 135)),
+    # a third, deliberately different geometry through the SAME kernel:
+    # 210x200 crop, 141x90 template (synthetic.ALT_CAMERA)
+    "altcam": dict(alt=True),
+}
+
+
+@pytest.mark.parametrize("cam", sorted(GEOM_CAMERAS))
+def test_frontend_kernel_exact_geometries(cam):
+    """The generalized frontend kernel (round 3: FrontendGeom replaces
+    the (250,250)/(119,188) literals) must produce the exact integer
+    TM_CCOEFF argmax/score and a correctly rotated superwindow for
+    every geometry in the shape family — here the second shipped
+    camera's crop/template shape and the ALT_CAMERA synthetic geometry.
+    Same exact-numpy contract as test_int8_frontend_kernel_exact."""
+    from meterelf_tpu import synthetic
+    from meterelf_tpu.ops import color as color_ops
+    from meterelf_tpu.ops import pallas_frontend as fe
+    from meterelf_tpu.types import Rect
+
+    import os
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    interpret = dev.platform != "tpu"
+    if interpret and not os.environ.get("METERELF_INTERPRET_INPROC"):
+        if not os.environ.get("METERELF_FULL_GOLDEN"):
+            pytest.skip("interpret-mode compile of the 64-column kernel "
+                        "takes minutes on CPU: set METERELF_FULL_GOLDEN=1 "
+                        "(runs always on TPU)")
+        _isolated_interpret_run(
+            f"test_frontend_kernel_exact_geometries[{cam}]")
+        return
+
+    spec = GEOM_CAMERAS[cam]
+    if spec.get("alt"):
+        camera = synthetic.ALT_CAMERA
+    else:
+        w, h = spec["meter_rect_wh"]
+        (x0, y0) = synthetic.METER_RECT.top_left
+        camera = synthetic.SyntheticCamera(
+            meter_rect=Rect((x0, y0), (x0 + w, y0 + h)))
+    ch = camera.meter_rect.height
+    cw = camera.meter_rect.width
+    tmpl = camera.make_template()
+    geom = fe.geom_for(ch, cw, tmpl.shape[0], tmpl.shape[1])
+    assert geom is not None, "geometry must be inside the kernel family"
+
+    crops = camera.render_crops([[1.0, 3.5, 7.2, 9.9],
+                                 [0.0, 2.2, 5.5, 8.8]])
+    c32 = crops.astype(np.int64)
+    packed = (c32[..., 0] | (c32[..., 1] << 8)
+              | (c32[..., 2] << 16)).astype(np.int32)
+    tsum = int(tmpl.astype(np.int64).sum())
+    tmean = np.float32(np.float64(tsum) / tmpl.size)
+
+    prev_dev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", None)
+    try:
+        mv, mx, my, sw = jax.jit(functools.partial(
+            fe.frontend_pallas, interpret=interpret,
+            crop_hw=(ch, cw)))(
+                jnp.asarray(packed), jnp.asarray(tmpl), tmean)
+        mv, mx, my, sw = jax.tree.map(np.asarray, (mv, mx, my, sw))
+    finally:
+        jax.config.update("jax_default_device", prev_dev)
+
+    L = np.asarray(color_ops.lightness_from_planes(
+        jnp.asarray(crops[..., 0]), jnp.asarray(crops[..., 1]),
+        jnp.asarray(crops[..., 2]))).astype(np.int64)
+    t64 = tmpl.astype(np.int64) - 128
+    c1 = np.float32(np.float32(128.0) - tmean)
+    c0 = np.float32(128.0 * (np.float64(tsum)
+                             - tmpl.size * np.float64(tmean)))
+    th, tw = tmpl.shape
+    for b in range(len(crops)):
+        lp = L[b] - 128
+        view = np.lib.stride_tricks.sliding_window_view(lp, (th, tw))
+        corr = np.einsum("yxij,ij->yx", view[:geom.oh, :geom.ow], t64)
+        box = np.einsum("yxij->yx", view[:geom.oh, :geom.ow])
+        scores = (corr.astype(np.float32)
+                  + (c1 * box.astype(np.float32)).astype(np.float32)
+                  + c0)
+        best = np.unravel_index(np.argmax(scores), scores.shape)
+        ties = np.argwhere(scores == scores[best])
+        by, bx = ties[np.lexsort((ties[:, 1], ties[:, 0]))][0]
+        assert int(my[b]) == by and int(mx[b]) == bx
+        assert np.float32(mv[b]) == scores[by, bx]
+        pad = np.zeros((fe.H_PAD, fe.W_PAD), np.int32)
+        pad[:ch, :cw] = packed[b]
+        rot = np.roll(np.roll(pad, -by, 0), -bx, 1)
+        assert np.array_equal(np.asarray(sw[b]),
+                              rot[:fe.SW_H, :fe.SW_W])
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_stats_hist_matches_sort(seed):
     """The MXU-histogram largest-component selection must be

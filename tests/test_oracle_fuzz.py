@@ -9,7 +9,9 @@ compared.
 This covers the space the golden corpus cannot: arbitrary needle
 configurations, carry-correction boundaries, unreadable dials, noisy
 masks, near-threshold contour areas, and a second camera geometry
-(ALT_CAMERA) that runs the generic (non-fused) decode paths.
+(ALT_CAMERA) — on this CPU suite both cameras run the generic XLA
+decode paths (the fused TPU kernels cover the same geometries via
+tests/test_ops.py::test_frontend_kernel_exact_geometries on-chip).
 """
 import os
 
