@@ -1114,6 +1114,7 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
     int comp_tq[3] = {0, 0, 0}, comp_id[3] = {0, 0, 0};
     int comp_dc[3] = {0, 0, 0}, comp_ac[3] = {0, 0, 0};
     int have_sof = 0;
+    int saw_jfif = 0, saw_adobe = 0, adobe_transform = 0;
     memset(dctbl, 0, sizeof(dctbl));
     memset(actbl, 0, sizeof(actbl));
 
@@ -1141,8 +1142,10 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
         const uint8_t *q = p + 2, *qend = p + len;
         p += len;
         if (m == 0xC0 || m == 0xC1) {            /* SOF0/1 */
-            if (have_sof || qend - q < 6)
-                return -1;
+            if (have_sof || qend - q != 6 + 3 * 3)
+                return -1;        /* exact length: libjpeg ERREXITs on
+                                   * any SOF length anomaly (jdmarker
+                                   * get_sof "Bogus marker length") */
             if (q[0] != 8)
                 return -1;
             h = (q[1] << 8) | q[2];
@@ -1199,15 +1202,13 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
                 q += 64;
             }
         } else if (m == 0xDD) {                  /* DRI */
-            if (qend - q < 2)
-                return -1;
+            if (qend - q != 2)
+                return -1;        /* libjpeg requires length == 4 */
             dri = (q[0] << 8) | q[1];
         } else if (m == 0xDA) {                  /* SOS */
-            if (!have_sof || qend - q < 1 || q[0] != 3)
-                return -1;
+            if (!have_sof || qend - q != 1 + 2 * 3 + 3 || q[0] != 3)
+                return -1;        /* exact length, like libjpeg */
             q++;
-            if (qend - q < 9)
-                return -1;
             for (int c = 0; c < 3; c++) {
                 if (q[0] != comp_id[c])
                     return -1;    /* comps out of SOF order: fallback */
@@ -1221,9 +1222,39 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
                 return -1;        /* not sequential full-band */
             break;                /* entropy data follows at p */
         } else if ((m >= 0xE0 && m <= 0xEF) || m == 0xFE) {
-            /* APPn/COM: skipped above */
+            /* APPn/COM are skipped, but APP0/APP14 feed libjpeg's
+             * color-space determination (jdmarker examine_app0/14):
+             * a stream that would NOT resolve to JCS_YCbCr must take
+             * the libjpeg pixel path (the device graph hardwires
+             * YCbCr->BGR) */
+            if (m == 0xE0 && qend - q >= 14
+                && q[0] == 0x4A && q[1] == 0x46 && q[2] == 0x49
+                && q[3] == 0x46 && q[4] == 0)
+                saw_jfif = 1;     /* "JFIF\0", >= APP0_DATA_LEN */
+            if (m == 0xEE && qend - q >= 12
+                && q[0] == 0x41 && q[1] == 0x64 && q[2] == 0x6F
+                && q[3] == 0x62 && q[4] == 0x65) {
+                saw_adobe = 1;    /* "Adobe", >= APP14_DATA_LEN */
+                adobe_transform = q[11];
+            }
         } else {
             return -1;            /* SOF2+, DAC, DNL, ...: libjpeg path */
+        }
+    }
+
+    /* color space must resolve to JCS_YCbCr under libjpeg's rules
+     * (jdapimin.c default_decompress_parms, 3-component case):
+     * JFIF seen -> YCbCr; else Adobe transform 1 -> YCbCr (0 -> RGB,
+     * others get a libjpeg warning we don't replicate -> fallback);
+     * neither marker -> component-ID heuristic, where IDs 'R','G','B'
+     * mean RGB.  Anything non-YCbCr falls back to the pixel path. */
+    if (!saw_jfif) {
+        if (saw_adobe) {
+            if (adobe_transform != 1)
+                return -1;
+        } else if (comp_id[0] == 0x52 && comp_id[1] == 0x47
+                   && comp_id[2] == 0x42) {
+            return -1;
         }
     }
 

@@ -70,13 +70,13 @@ def test_run_as_module():
 
 def test_value_zero_prints_empty():
     """The reference's `if data.value` quirk: a 0.000 reading prints as
-    an empty value (meterelf/_main.py:17)."""
+    an empty value (meterelf/_main.py:17) — asserted on the REAL
+    formatting path (cli.format_result), not a re-implementation."""
     from meterelf_tpu.api import MeterImageData
 
-    data = MeterImageData("f.jpg", 0.0, None, {"value": 0.0})
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        print(data.filename, end="")
-        value_str = "{:07.3f}".format(data.value) if data.value else ""
-        print(f": {value_str}")
-    assert buf.getvalue() == "f.jpg: \n"
+    zero = MeterImageData("f.jpg", 0.0, None, {"value": 0.0})
+    assert cli.format_result(zero) == "f.jpg: "
+    nonzero = MeterImageData("f.jpg", 253.623, None, {"value": 253.623})
+    assert cli.format_result(nonzero) == "f.jpg: 253.623"
+    small = MeterImageData("f.jpg", 0.062, None, {"value": 0.062})
+    assert cli.format_result(small) == "f.jpg: 000.062"

@@ -176,6 +176,136 @@ def test_unsupported_layouts_fall_back():
     assert ok[0]
 
 
+def _segments(data):
+    """Split a JPEG byte stream into (marker, absolute start, seg bytes)
+    triples up to SOS — enough structure to splice APPn/DRI segments
+    into test streams."""
+    out = []
+    p = 2
+    while p + 4 <= len(data):
+        assert data[p] == 0xFF
+        m = data[p + 1]
+        ln = (data[p + 2] << 8) | data[p + 3]
+        out.append((m, p, data[p:p + 2 + ln]))
+        p += 2 + ln
+        if m == 0xDA:
+            break
+    return out
+
+
+def _strip_app0(data):
+    segs = _segments(data)
+    m0, p0, seg0 = segs[0]
+    assert m0 == 0xE0, "PIL stream should start with JFIF APP0"
+    return data[:p0] + data[p0 + len(seg0):]
+
+
+def _insert_before_sof(data, segment):
+    for m, p, _seg in _segments(data):
+        if m in (0xC0, 0xC1):
+            return data[:p] + segment + data[p:]
+    raise AssertionError("no SOF marker found")
+
+
+def _adobe_app14(transform):
+    body = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+    return bytes([0xFF, 0xEE, 0, len(body) + 2]) + body
+
+
+def test_fast_reader_matches_libjpeg_fallback():
+    """The fast baseline coefficient reader (MEJ_FAST_COEFS=1, the
+    default) must be indistinguishable from the libjpeg suspension
+    fallback (=0): identical coefficients, quant tables, AND ok flags —
+    including streams engineered to probe its header-validation edges
+    (ADVICE r2): Adobe APP14 transform=0 without JFIF (libjpeg resolves
+    RGB -> must fall back/reject), malformed DRI segment length
+    (libjpeg ERREXITs), stripped-APP0 YCbCr-by-heuristic streams, and
+    truncation points. The env flag is latched per-process
+    (pthread_once), so each setting runs in a child process."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+
+    rng = np.random.default_rng(20260819)
+    frame = _rng_frame(rng, 160, 128)
+    base = _encode(frame, quality=85, subsampling=2)       # JFIF 4:2:0
+    cases = [base]
+    cases.append(_strip_app0(base))            # no markers, IDs 1,2,3
+    cases.append(_insert_before_sof(_strip_app0(base), _adobe_app14(0)))
+    cases.append(_insert_before_sof(_strip_app0(base), _adobe_app14(1)))
+    cases.append(_insert_before_sof(base, _adobe_app14(0)))  # JFIF wins
+    # malformed DRI: length 5 (libjpeg requires exactly 4)
+    bad_dri = bytes([0xFF, 0xDD, 0, 5, 0, 8, 0])
+    cases.append(_insert_before_sof(base, bad_dri))
+    cases.append(_encode(frame, quality=85, subsampling=0))  # 4:4:4
+    cases.append(base[:len(base) // 2])                      # truncated
+    cases.append(base[:len(base) - 1])
+    for f in sorted(glob.glob(os.path.join(SAMPLE1, "*.jpg")))[:6]:
+        cases.append(open(f, "rb").read())
+
+    d = tempfile.mkdtemp()
+    for i, c in enumerate(cases):
+        with open(os.path.join(d, f"{i}.bin"), "wb") as fp:
+            fp.write(c)
+    child = os.path.join(d, "child.py")
+    with open(child, "w") as fp:
+        fp.write(
+            "import json, sys, types\n"
+            "import numpy as np\n"
+            "from meterelf_tpu.io import jpeg as jio\n"
+            "cfg = json.loads(sys.argv[1])\n"
+            "datas = [open(f, 'rb').read() for f in cfg['files']]\n"
+            "win = types.SimpleNamespace(**cfg['win'])\n"
+            "out = jio.read_coefs_batch(datas, win, tuple(cfg['wh']))\n"
+            "np.savez(cfg['out'], **{str(i): np.asarray(a)\n"
+            "                        for i, a in enumerate(out)})\n")
+
+    win = jpegdec.coef_window(Rect(top_left=(16, 16),
+                                   bottom_right=(80, 80)), 160, 128)
+    win1 = jpegdec.coef_window(RECT1, *FRAME_WH)
+    outs = {}
+    for fast in ("0", "1"):
+        env = dict(os.environ, MEJ_FAST_COEFS=fast,
+                   PYTHONPATH=os.pathsep.join(
+                       [os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__)))]
+                       + os.environ.get("PYTHONPATH", "").split(
+                           os.pathsep)))
+        per_group = []
+        for gi, (n_from, n_to, w, wh) in enumerate([
+                (0, len(cases) - 6, win, (160, 128)),
+                (len(cases) - 6, len(cases), win1, FRAME_WH)]):
+            cfg = {
+                "files": [os.path.join(d, f"{i}.bin")
+                          for i in range(n_from, n_to)],
+                "win": {k: int(getattr(w, k))
+                        for k in ("lbx0", "lby0", "lbw", "lbh")},
+                "wh": list(wh),
+                "out": os.path.join(d, f"out{fast}_{gi}.npz"),
+            }
+            r = subprocess.run(
+                [sys.executable, child, json.dumps(cfg)],
+                capture_output=True, text=True, env=env, timeout=600)
+            assert r.returncode == 0, r.stderr[-3000:]
+            per_group.append(np.load(cfg["out"]))
+        outs[fast] = per_group
+
+    for gi in range(2):
+        a, b = outs["0"][gi], outs["1"][gi]
+        for key in a.files:
+            np.testing.assert_array_equal(
+                a[key], b[key],
+                err_msg=f"group {gi} output {key} differs between "
+                        "MEJ_FAST_COEFS=0 and =1")
+    # the engineered non-YCbCr / malformed-DRI streams must be REJECTED
+    # under both settings (ok is output index 4; case order above)
+    ok_small = outs["1"][0]["4"]
+    assert not ok_small[2], "Adobe transform=0 without JFIF accepted"
+    assert not ok_small[5], "malformed DRI accepted"
+    assert ok_small[0] and ok_small[1] and ok_small[3] and ok_small[4]
+
+
 @pytest.mark.parametrize("sample_dir,rect,params_file,n", [
     (SAMPLE1, RECT1, f"{SAMPLE1}/params.yml", 16),   # incl. both corrupt
     (SAMPLE2, RECT2, f"{SAMPLE2}/params.yml", 8),
