@@ -45,14 +45,18 @@ def main():
 
     REPS = 64
 
+    plane = cy.shape[1:] == (win.lbh * 8, win.lbw * 8)
+    bh_fn = (jpegdec.backhalf_planes_to_packed if plane
+             else jpegdec.backhalf_to_packed)
+    print(f"coef feed layout: {'frequency-plane (fused kernel)' if plane else 'blocks (XLA)'}")
+
     @jax.jit
     def bh_only(cy, cb, cr, qt):
         def body(i):
             # xor the dc coefficient with the loop index so XLA cannot
             # hoist the loop-invariant body (docs/performance.md)
             cyx = cy.at[:, 0, 0].set(cy[:, 0, 0] ^ i.astype(jnp.int16))
-            p = jpegdec.backhalf_to_packed(cyx, cb, cr, qt, win,
-                                           pad_hw=pad_hw)
+            p = bh_fn(cyx, cb, cr, qt, win, pad_hw=pad_hw)
             return p.sum(dtype=jnp.int32)
         return lax.map(body, jnp.arange(REPS, dtype=jnp.int32)).sum()
 

@@ -91,7 +91,7 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ulong),
             ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
@@ -329,6 +329,7 @@ def read_coefs_batch(
     win: "CoefWindow",         # ops.jpegdec.CoefWindow (host pytree)
     frame_wh: Tuple[int, int],
     num_threads: int = 2,
+    plane_layout: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Entropy-decode only (pthreads, GIL-free): ship the block-aligned
     DCT-coefficient window for the device back-half
@@ -336,15 +337,26 @@ def read_coefs_batch(
 
     Returns (coef_y [N, lbh*lbw, 64] i16, coef_cb, coef_cr
     [N, (lbh//2)*(lbw//2), 64] i16, qt [N, 3, 64] u16, ok [N] bool).
+    With plane_layout=True the coefficient arrays come back in the
+    FREQUENCY-PLANE layout instead — coef_y [N, lbh*8, lbw*8] with
+    coefficient (rf, cf) of block (by, bx) at [8*by+rf, 8*bx+cf] (and
+    chroma [N, lbh*4, lbw*4]) — the zero-relayout input of the fused
+    Pallas back-half kernel (ops/pallas_jpeg.py).
     ok=False rows (corrupt header, non-4:2:0/progressive layout,
     unexpected frame size) keep zeroed slots — the caller decodes those
     few on the host pixel path instead."""
     lib = _get_lib()
     n = len(datas)
     nby = win.lbh * win.lbw
-    coef_y = np.zeros((n, nby, 64), np.int16)
-    coef_cb = np.zeros((n, nby // 4, 64), np.int16)
-    coef_cr = np.zeros((n, nby // 4, 64), np.int16)
+    if plane_layout:
+        yshape = (n, win.lbh * 8, win.lbw * 8)
+        cshape = (n, win.lbh * 4, win.lbw * 4)
+    else:
+        yshape = (n, nby, 64)
+        cshape = (n, nby // 4, 64)
+    coef_y = np.zeros(yshape, np.int16)
+    coef_cb = np.zeros(cshape, np.int16)
+    coef_cr = np.zeros(cshape, np.int16)
     qt = np.zeros((n, 3, 64), np.uint16)
     ok = np.zeros(n, np.int32)
     arr_ptrs = (ctypes.c_char_p * n)(*datas)
@@ -352,7 +364,7 @@ def read_coefs_batch(
     lib.mej_read_coefs_region_batch(
         arr_ptrs, arr_sizes, n,
         win.lbx0, win.lby0, win.lbw, win.lbh,
-        frame_wh[0], frame_wh[1],
+        frame_wh[0], frame_wh[1], int(plane_layout),
         coef_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         coef_cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         coef_cr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
@@ -388,8 +400,12 @@ def load_coef_feed(
     from ..ops import jpegdec
 
     win = jpegdec.coef_window(meter_rect, frame_wh[0], frame_wh[1])
+    # frequency-plane layout exactly when the fused back-half kernel
+    # will consume it (the decode step dispatches on the array shape)
+    plane = jpegdec.fused_tail_ok(win, tuple(pad_hw))
     cy, cb, cr, qt, ok = read_coefs_batch(
-        datas, win, frame_wh, num_threads=num_threads)
+        datas, win, frame_wh, num_threads=num_threads,
+        plane_layout=plane)
     load_ok = ok.copy()
     fb_idx = np.full(fb_slots, len(datas), np.int32)
     fb_packed = np.zeros((fb_slots, pad_hw[0], pad_hw[1]), np.int32)

@@ -719,7 +719,7 @@ static void mej_src_setup(j_decompress_ptr cinfo, mej_chunk_src *src,
 static int mej_read_coefs_region_inner(const unsigned char *data,
                                        unsigned long size,
                                        int lbx0, int lby0, int lbw, int lbh,
-                                       int exp_w, int exp_h,
+                                       int exp_w, int exp_h, int plane,
                                        int16_t *coefY, int16_t *coefCb,
                                        int16_t *coefCr,
                                        uint16_t *qt /* [3*64] */,
@@ -837,24 +837,59 @@ static int mej_read_coefs_region_inner(const unsigned char *data,
                 qt[ci * 64 + k] = (uint16_t)q->quantval[k];
         }
 
-        for (int y = 0; y < lbh; y++) {
-            JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
-                (j_common_ptr)&cinfo, coefs[0],
-                (JDIMENSION)(lby0 + y), 1, FALSE);
-            memcpy(coefY + (size_t)y * lbw * DCTSIZE2,
-                   rows[0][lbx0], (size_t)lbw * DCTSIZE2 * sizeof(JCOEF));
-        }
-        for (int y = 0; y < cbh; y++) {
-            JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
-                (j_common_ptr)&cinfo, coefs[1],
-                (JDIMENSION)(cby0 + y), 1, FALSE);
-            memcpy(coefCb + (size_t)y * cbw * DCTSIZE2,
-                   rows[0][cbx0], (size_t)cbw * DCTSIZE2 * sizeof(JCOEF));
-            rows = (*cinfo.mem->access_virt_barray)(
-                (j_common_ptr)&cinfo, coefs[2],
-                (JDIMENSION)(cby0 + y), 1, FALSE);
-            memcpy(coefCr + (size_t)y * cbw * DCTSIZE2,
-                   rows[0][cbx0], (size_t)cbw * DCTSIZE2 * sizeof(JCOEF));
+        if (plane) {
+            /* frequency-plane layout: coefficient (rf, cf) of block
+             * (by, bx) lands at [(8*by + rf) * (lbw*8) + 8*bx + cf] —
+             * the device's fused back-half kernel consumes this layout
+             * with zero relayouts (ops/pallas_jpeg.py) */
+            for (int y = 0; y < lbh; y++) {
+                JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+                    (j_common_ptr)&cinfo, coefs[0],
+                    (JDIMENSION)(lby0 + y), 1, FALSE);
+                for (int bx = 0; bx < lbw; bx++)
+                    for (int r = 0; r < 8; r++)
+                        memcpy(coefY + ((size_t)y * 8 + r) * (lbw * 8)
+                                   + (size_t)bx * 8,
+                               &rows[0][lbx0 + bx][r * 8],
+                               8 * sizeof(JCOEF));
+            }
+            for (int y = 0; y < cbh; y++) {
+                for (int ci = 1; ci <= 2; ci++) {
+                    int16_t *dst = ci == 1 ? coefCb : coefCr;
+                    JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+                        (j_common_ptr)&cinfo, coefs[ci],
+                        (JDIMENSION)(cby0 + y), 1, FALSE);
+                    for (int bx = 0; bx < cbw; bx++)
+                        for (int r = 0; r < 8; r++)
+                            memcpy(dst + ((size_t)y * 8 + r) * (cbw * 8)
+                                       + (size_t)bx * 8,
+                                   &rows[0][cbx0 + bx][r * 8],
+                                   8 * sizeof(JCOEF));
+                }
+            }
+        } else {
+            for (int y = 0; y < lbh; y++) {
+                JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+                    (j_common_ptr)&cinfo, coefs[0],
+                    (JDIMENSION)(lby0 + y), 1, FALSE);
+                memcpy(coefY + (size_t)y * lbw * DCTSIZE2,
+                       rows[0][lbx0],
+                       (size_t)lbw * DCTSIZE2 * sizeof(JCOEF));
+            }
+            for (int y = 0; y < cbh; y++) {
+                JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+                    (j_common_ptr)&cinfo, coefs[1],
+                    (JDIMENSION)(cby0 + y), 1, FALSE);
+                memcpy(coefCb + (size_t)y * cbw * DCTSIZE2,
+                       rows[0][cbx0],
+                       (size_t)cbw * DCTSIZE2 * sizeof(JCOEF));
+                rows = (*cinfo.mem->access_virt_barray)(
+                    (j_common_ptr)&cinfo, coefs[2],
+                    (JDIMENSION)(cby0 + y), 1, FALSE);
+                memcpy(coefCr + (size_t)y * cbw * DCTSIZE2,
+                       rows[0][cbx0],
+                       (size_t)cbw * DCTSIZE2 * sizeof(JCOEF));
+            }
         }
     }
 
@@ -1020,14 +1055,25 @@ static inline int mej_peekdec(mej_br *b, const mej_htbl *t, int *len)
 
 /* Decode one block; store into out (natural order, zeroed here — the
  * caller's buffer is NOT assumed pre-zeroed) unless out is NULL.
+ * rstride is the output row stride in elements: 8 for the contiguous
+ * [64] block layout, the plane width for the frequency-plane layout
+ * (coefficient (r, c) lands at out[r*rstride + c] — out points at the
+ * block's top-left element either way).
  * Hot-loop shape: ONE refill check per coefficient covers both the
  * Huffman code (<=16 bits) and its value bits (<=15), decoded from a
  * single top-aligned peek. */
 static int mej_fast_block(mej_br *br, const mej_htbl *dc,
-                          const mej_htbl *ac, int *pred, int16_t *out)
+                          const mej_htbl *ac, int *pred, int16_t *out,
+                          int rstride)
 {
-    if (out)
-        memset(out, 0, 64 * sizeof(int16_t));
+    if (out) {
+        if (rstride == 8) {
+            memset(out, 0, 64 * sizeof(int16_t));
+        } else {
+            for (int r = 0; r < 8; r++)
+                memset(out + (size_t)r * rstride, 0, 8 * sizeof(int16_t));
+        }
+    }
     int len;
     if (br->n < 32)
         mej_br_fill(br);
@@ -1074,8 +1120,11 @@ static int mej_fast_block(mej_br *br, const mej_htbl *dc,
             uint32_t v = (uint32_t)((br->acc << len) >> (64 - sz));
             br->acc <<= len + sz;
             br->n -= len + sz;
-            if (out)
-                out[jpeg_natural_order[k]] = (int16_t)mej_extend(v, sz);
+            if (out) {
+                int no = jpeg_natural_order[k];
+                out[(no >> 3) * (size_t)rstride + (no & 7)] =
+                    (int16_t)mej_extend(v, sz);
+            }
             k++;
         }
     }
@@ -1102,7 +1151,7 @@ static int mej_fast_enabled(void)
 
 static int mej_fast_coefs(const unsigned char *data, unsigned long size,
                           int lbx0, int lby0, int lbw, int lbh,
-                          int exp_w, int exp_h,
+                          int exp_w, int exp_h, int plane,
                           int16_t *coefY, int16_t *coefCb,
                           int16_t *coefCr, uint16_t *qt /* [3*64] */)
 {
@@ -1325,21 +1374,28 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
                 int16_t *out = NULL;
                 if (bx >= lbx0 && bx < lbx0 + lbw
                     && by >= lby0 && by < lby0 + lbh)
-                    out = coefY
-                        + ((size_t)(by - lby0) * lbw + (bx - lbx0)) * 64;
-                if (mej_fast_block(&br, ydc, yac, &pred[0], out))
+                    out = plane
+                        ? coefY + ((size_t)(by - lby0) * 8 * (lbw * 8)
+                                   + (size_t)(bx - lbx0) * 8)
+                        : coefY + ((size_t)(by - lby0) * lbw
+                                   + (bx - lbx0)) * 64;
+                if (mej_fast_block(&br, ydc, yac, &pred[0], out,
+                                   plane ? lbw * 8 : 8))
                     return -1;
             }
             {
                 int in_cwin = (mx >= cbx0 && mx < cbx0 + cbw
                                && my >= cby0 && my < cby0 + cbh);
-                size_t coff =
-                    ((size_t)(my - cby0) * cbw + (mx - cbx0)) * 64;
+                int cstride = plane ? cbw * 8 : 8;
+                size_t coff = plane
+                    ? ((size_t)(my - cby0) * 8 * (cbw * 8)
+                       + (size_t)(mx - cbx0) * 8)
+                    : ((size_t)(my - cby0) * cbw + (mx - cbx0)) * 64;
                 if (mej_fast_block(&br, bdc, bac, &pred[1],
-                                   in_cwin ? coefCb + coff : NULL))
+                                   in_cwin ? coefCb + coff : NULL, cstride))
                     return -1;
                 if (mej_fast_block(&br, rdc, rac, &pred[2],
-                                   in_cwin ? coefCr + coff : NULL))
+                                   in_cwin ? coefCr + coff : NULL, cstride))
                     return -1;
             }
             if (dri)
@@ -1358,19 +1414,19 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
 static int mej_read_coefs_region(const unsigned char *data,
                                  unsigned long size,
                                  int lbx0, int lby0, int lbw, int lbh,
-                                 int exp_w, int exp_h,
+                                 int exp_w, int exp_h, int plane,
                                  int16_t *coefY, int16_t *coefCb,
                                  int16_t *coefCr, uint16_t *qt /* [3*64] */)
 {
     if (mej_fast_enabled()
         && mej_fast_coefs(data, size, lbx0, lby0, lbw, lbh, exp_w, exp_h,
-                          coefY, coefCb, coefCr, qt) == 0)
+                          plane, coefY, coefCb, coefCr, qt) == 0)
         return 0;
     mej_chunk_src src;
     src.scratch = NULL;
     src.scratch_len = 0;
     int rc = mej_read_coefs_region_inner(
-        data, size, lbx0, lby0, lbw, lbh, exp_w, exp_h,
+        data, size, lbx0, lby0, lbw, lbh, exp_w, exp_h, plane,
         coefY, coefCb, coefCr, qt, &src);
     free(src.scratch);
     return rc;
@@ -1406,7 +1462,7 @@ int mej_read_coefs_region_file(const char *path,
     fclose(fp);
     int rc = mej_read_coefs_region(buf, (unsigned long)sz,
                                    lbx0, lby0, lbw, lbh, exp_w, exp_h,
-                                   coefY, coefCb, coefCr, qt);
+                                   0, coefY, coefCb, coefCr, qt);
     free(buf);
     return rc;
 }
@@ -1421,6 +1477,7 @@ typedef struct {
     int *ok;                  /* N: 0 = success (else caller falls back) */
     int lbx0, lby0, lbw, lbh;
     int exp_w, exp_h;
+    int plane;                /* 1 = frequency-plane output layout */
     int n;
     int next;
     pthread_mutex_t lock;
@@ -1440,7 +1497,7 @@ static void *mej_coef_worker(void *arg)
         job->ok[i] = mej_read_coefs_region(
             job->datas[i], job->sizes[i],
             job->lbx0, job->lby0, job->lbw, job->lbh,
-            job->exp_w, job->exp_h,
+            job->exp_w, job->exp_h, job->plane,
             job->coefY + (size_t)i * y_stride,
             job->coefCb + (size_t)i * c_stride,
             job->coefCr + (size_t)i * c_stride,
@@ -1452,12 +1509,13 @@ static void *mej_coef_worker(void *arg)
 void mej_read_coefs_region_batch(const unsigned char *const *datas,
                                  const unsigned long *sizes, int n,
                                  int lbx0, int lby0, int lbw, int lbh,
-                                 int exp_w, int exp_h,
+                                 int exp_w, int exp_h, int plane,
                                  int16_t *coefY, int16_t *coefCb,
                                  int16_t *coefCr, uint16_t *qt,
                                  int *ok, int num_threads)
 {
     mej_coef_job job;
+    job.plane = plane;
     job.datas = datas;
     job.sizes = sizes;
     job.coefY = coefY;

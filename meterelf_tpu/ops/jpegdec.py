@@ -329,6 +329,9 @@ def backhalf_to_packed(
     crops (zero-padded to pad_hw when given) — the decode graph's
     staging layout, so the whole JPEG back-half fuses into the same jit
     graph that reads the dials."""
+    assert coef_y.shape[1:] == (win.lbh * win.lbw, 64), (
+        f"block layout expected, got {coef_y.shape}; frequency-plane "
+        "feeds go through backhalf_planes_to_packed")
     cbh, cbw = win.lbh // 2, win.lbw // 2
     sy = idct_to_plane(coef_y, qt[:, 0], win.lbh, win.lbw)
     scb = idct_to_plane(coef_cb, qt[:, 1], cbh, cbw)
@@ -349,6 +352,63 @@ def backhalf_to_packed(
     return packed
 
 
+def _plane_to_blocks(fp: jnp.ndarray, bh: int, bw: int) -> jnp.ndarray:
+    """[B, bh*8, bw*8] frequency-plane -> [B, bh*bw, 64] block layout
+    (inverse of the C reader's plane mode; XLA-path fallback only)."""
+    B = fp.shape[0]
+    return (fp.reshape(B, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
+            .reshape(B, bh * bw, 64))
+
+
+def backhalf_planes_to_packed(
+    fy: jnp.ndarray,        # [B, lbh*8, lbw*8] i16 frequency-plane
+    fcb: jnp.ndarray,       # [B, lbh*4, lbw*4] i16
+    fcr: jnp.ndarray,
+    qt: jnp.ndarray,        # [B, 3, 64]
+    win: CoefWindow,
+    pad_hw: Tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """backhalf_to_packed for the frequency-plane coefficient layout
+    (io.jpeg read_coefs_batch plane_layout=True). On supported geometry
+    this runs the FULLY fused Pallas kernel — dequant + MXU limb IDCT +
+    upsample + color + crop/pack with no HBM intermediates
+    (ops/pallas_jpeg.fused_backhalf_planes); elsewhere it falls back to
+    the block-layout XLA graph via an in-graph relayout. Bit-identical
+    either way (tests/test_jpegdec.py)."""
+    if fused_tail_ok(win, pad_hw):
+        from .pallas_jpeg import fused_backhalf_planes
+        return fused_backhalf_planes(fy, fcb, fcr, qt, win, pad_hw)
+    cbh, cbw = win.lbh // 2, win.lbw // 2
+    return backhalf_to_packed(
+        _plane_to_blocks(fy, win.lbh, win.lbw),
+        _plane_to_blocks(fcb, cbh, cbw),
+        _plane_to_blocks(fcr, cbh, cbw),
+        qt, win, pad_hw=pad_hw)
+
+
+def fused_tail_ok(win: CoefWindow, pad_hw) -> bool:
+    """Geometry + platform gate for the fully fused back-half kernel:
+    the aligned-slice constraints of the tail (oy % 8 == 0, crop inside
+    the window) plus lane-aligned plane width (lw % 128 == 0, keeps the
+    kernel's chroma concats vreg-aligned)."""
+    if _TAIL == "xla" or pad_hw is None:
+        return False
+    if not (_pallas_geom_ok(win, pad_hw) and (8 * win.lbw) % 128 == 0):
+        return False
+    if _TAIL == "pallas":
+        return True
+    import jax as _jax
+
+    dev = _jax.config.jax_default_device or _jax.devices()[0]
+    return dev.platform == "tpu"
+
+
+def _pallas_geom_ok(win: CoefWindow, pad_hw) -> bool:
+    return (win.oy % 8 == 0
+            and win.oy + pad_hw[0] <= 8 * win.lbh
+            and pad_hw[1] <= 8 * win.lbw)
+
+
 def _pallas_tail_ok(win: CoefWindow, pad_hw) -> bool:
     """The fused tail kernel supports the padded-staging geometry with
     an 8-aligned crop row origin inside the window (the aligned-slice
@@ -356,10 +416,7 @@ def _pallas_tail_ok(win: CoefWindow, pad_hw) -> bool:
     (compiled Pallas is TPU-only)."""
     if _TAIL == "xla" or pad_hw is None:
         return False
-    geom_ok = (win.oy % 8 == 0
-               and win.oy + pad_hw[0] <= 8 * win.lbh
-               and pad_hw[1] <= 8 * win.lbw)
-    if not geom_ok:
+    if not _pallas_geom_ok(win, pad_hw):
         return False
     if _TAIL == "pallas":
         return True

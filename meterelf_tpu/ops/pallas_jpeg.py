@@ -27,6 +27,8 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -53,22 +55,60 @@ def _upsample_plane(c: jnp.ndarray, ch_valid: int,
     """[CH, CW] i32 chroma -> [2CH, 2CW] i32, libjpeg triangle filter.
     Neighbor clamp fixups apply only at the image edge mapped into
     window coordinates (rows/cols past the valid bound are block
-    padding whose outputs the caller discards)."""
+    padding whose outputs the caller discards).
+
+    Runs the HORIZONTAL stage first on the transposed plane: the
+    9/3/3/1 taps sum identically in either order (integer products,
+    one final rounding add + shift), but horizontal-first transposes
+    [CH, CW] + [CH, 2CW] instead of [2CH, CW] + [2CW, 2CH] — half the
+    in-kernel transpose traffic, which dominated this stage's cost.
+    The +8/+7 rounding pair follows the OUTPUT COLUMN parity
+    (jdsample.c h2v2_fancy_upsample), which after the transpose back is
+    the lane parity of the final stage."""
     i32 = jnp.int32
     ch, cw = c.shape
-    row = lax.broadcasted_iota(i32, (ch, cw), 0)
-    up = jnp.where(row == 0, c, pltpu.roll(c, 1, 0))
-    dn = jnp.where(row == i32(ch_valid - 1), c,
-                   pltpu.roll(c, ch - 1, 0))
-    cs = _interleave_sublanes(3 * c + up, 3 * c + dn)     # [2CH, CW]
-    cst = cs.T                                            # [CW, 2CH]
-    srow = lax.broadcasted_iota(i32, (cw, 2 * ch), 0)
-    lf = jnp.where(srow == 0, cst, pltpu.roll(cst, 1, 0))
-    rt = jnp.where(srow == i32(cw_valid - 1), cst,
-                   pltpu.roll(cst, cw - 1, 0))
-    o_even = (3 * cst + lf + 8) >> 4
-    o_odd = (3 * cst + rt + 7) >> 4
-    return _interleave_sublanes(o_even, o_odd).T          # [2CH, 2CW]
+    ct = c.T                                              # [CW, CH]
+    srow = lax.broadcasted_iota(i32, (cw, ch), 0)
+    lf = jnp.where(srow == 0, ct, pltpu.roll(ct, 1, 0))
+    rt = jnp.where(srow == i32(cw_valid - 1), ct,
+                   pltpu.roll(ct, cw - 1, 0))
+    hs = _interleave_sublanes(3 * ct + lf, 3 * ct + rt)   # [2CW, CH]
+    hst = hs.T                                            # [CH, 2CW]
+    row = lax.broadcasted_iota(i32, (ch, 2 * cw), 0)
+    up = jnp.where(row == 0, hst, pltpu.roll(hst, 1, 0))
+    dn = jnp.where(row == i32(ch_valid - 1), hst,
+                   pltpu.roll(hst, ch - 1, 0))
+    lane = lax.broadcasted_iota(i32, (ch, 2 * cw), 1)
+    rnd = jnp.where((lane & 1) == 0, i32(8), i32(7))
+    o_even = (3 * hst + up + rnd) >> 4
+    o_odd = (3 * hst + dn + rnd) >> 4
+    return _interleave_sublanes(o_even, o_odd)            # [2CH, 2CW]
+
+
+def _color_pack_aligned(y, ucb, ucr, keep, *, oy: int, ox: int,
+                        ph: int, pw: int):
+    """Shared tail epilogue on in-VMEM i32 planes: crop-align (rotate
+    the x offset away — lane-offset slices don't lower — then an
+    8-aligned sublane slice), fixed-point YCbCr->BGR, pack, pad-zero."""
+    i32 = jnp.int32
+    lw = y.shape[1]
+
+    def align(p):
+        p = pltpu.roll(p, lw - ox, 1) if ox else p
+        return p[oy:oy + ph, :pw]
+
+    ya = align(y)
+    cba = align(ucb) - 128
+    cra = align(ucr) - 128
+    r = ya + ((i32(_FIX_1_40200) * cra + i32(_ONE_HALF)) >> _SCALEBITS)
+    b = ya + ((i32(_FIX_1_77200) * cba + i32(_ONE_HALF)) >> _SCALEBITS)
+    g_ = ya + ((i32(-_FIX_0_34414) * cba + i32(-_FIX_0_71414) * cra
+                + i32(_ONE_HALF)) >> _SCALEBITS)
+    r = jnp.clip(r, 0, 255)
+    g_ = jnp.clip(g_, 0, 255)
+    b = jnp.clip(b, 0, 255)
+    packed = b | (g_ << 8) | (r << 16)
+    return jnp.where(keep, packed, i32(0))
 
 
 def _tail_kernel(y_ref, cb_ref, cr_ref, out_ref, *,
@@ -85,29 +125,183 @@ def _tail_kernel(y_ref, cb_ref, cr_ref, out_ref, *,
         y = y_ref[g].astype(i32)                          # [LH, LW]
         ucb = _upsample_plane(cb_ref[g].astype(i32), ch_valid, cw_valid)
         ucr = _upsample_plane(cr_ref[g].astype(i32), ch_valid, cw_valid)
+        out_ref[g] = _color_pack_aligned(
+            y, ucb, ucr, keep, oy=oy, ox=ox, ph=ph, pw=pw)
 
-        lw = y.shape[1]
 
-        def align(p):
-            # crop alignment: rotate the x offset away (lane-offset
-            # slices don't lower), 8-aligned sublane slice of PH rows
-            p = pltpu.roll(p, lw - ox, 1) if ox else p
-            return p[oy:oy + ph, :pw]
+# ---------- fully fused back-half: dequant + IDCT + tail ----------
+#
+# The IDCT runs ON THE MXU, exactly. Each ISLOW pass is the integer
+# linear map _IDCT_MAT applied within every 8-row (pass 1) / 8-lane
+# (pass 2) group of the FREQUENCY-PLANE coefficient layout the C reader
+# ships (io/native plane mode): pass 1 left-multiplies by I (x) M,
+# pass 2 right-multiplies by I (x) M^T. i32 ring exactness on the
+# int8-only MXU comes from base-256 SIGNED-DIGIT limb decomposition:
+# x = x0 + 256*x1 + 65536*x2 (digits in [-128, 127]) covers |x| <= 2^23
+# (dequantized coefficients: |coef| <= 32767, 8-bit tables <= 255, so
+# |coef*qt| < 2^23; pass-2 inputs are descale-11 outputs, |ws| <= 2^21),
+# the matrix (|M| <= 11363) needs two digits, and every cross term
+# 256^(i+j) * (xi . mj) with i+j <= 3 is an exact i32 dot — the MXU
+# accumulates int8 products exactly — shifted into place with wrapping
+# i32 adds. Sums and shifts wrap mod 2^32 exactly like the C butterfly
+# (jidctint.c), so the result is bit-identical to ops/jpegdec.py's XLA
+# path for EVERY representable input, adversarial coefficients
+# included. No coefficient transpose, no plane intermediate, no HBM
+# traffic between IDCT and upsample/color/pack.
 
-        ya = align(y)
-        cba = align(ucb) - 128
-        cra = align(ucr) - 128
-        r = ya + ((i32(_FIX_1_40200) * cra + i32(_ONE_HALF))
-                  >> _SCALEBITS)
-        b = ya + ((i32(_FIX_1_77200) * cba + i32(_ONE_HALF))
-                  >> _SCALEBITS)
-        g_ = ya + ((i32(-_FIX_0_34414) * cba + i32(-_FIX_0_71414) * cra
-                    + i32(_ONE_HALF)) >> _SCALEBITS)
-        r = jnp.clip(r, 0, 255)
-        g_ = jnp.clip(g_, 0, 255)
-        b = jnp.clip(b, 0, 255)
-        packed = b | (g_ << 8) | (r << 16)
-        out_ref[g] = jnp.where(keep, packed, i32(0))
+
+def _limb_split_i32(x):
+    """i32 [S, L] -> three int8 signed base-256 digits (|x| < 2^23)."""
+    l0 = ((x + 128) & 255) - 128
+    x1 = (x - l0) >> 8
+    l1 = ((x1 + 128) & 255) - 128
+    l2 = (x1 - l1) >> 8
+    return (l0.astype(jnp.int8), l1.astype(jnp.int8),
+            l2.astype(jnp.int8))
+
+
+def _limb_matmul(x_i32, a_lo, a_hi, left: bool):
+    """Exact-mod-2^32 integer matmul of x (i32, |x| < 2^23) with a
+    2-digit int8 constant matrix. left=True: A @ x, else x @ A."""
+    i32 = jnp.int32
+    terms = {}
+    for i, xi in enumerate(_limb_split_i32(x_i32)):
+        for j, aj in enumerate((a_lo, a_hi)):
+            if left:
+                p = lax.dot_general(aj, xi, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=i32)
+            else:
+                p = lax.dot_general(xi, aj, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=i32)
+            sh = 8 * (i + j)
+            terms[sh] = p if sh not in terms else terms[sh] + p
+    acc = terms[0]
+    for sh in sorted(terms):
+        if sh:
+            acc = acc + (terms[sh] << sh)
+    return acc
+
+
+def _descale(x, n: int):
+    return (x + (1 << (n - 1))) >> n
+
+
+def _band_limbs(nblocks: int):
+    """(lo, hi) int8 limb pair of I_nblocks (x) _IDCT_MAT."""
+    from .jpegdec import _IDCT_MAT
+    m = np.kron(np.eye(nblocks, dtype=np.int64),
+                _IDCT_MAT.astype(np.int64))
+    lo = ((m + 128) % 256) - 128
+    hi = (m - lo) >> 8
+    assert hi.min() >= -128 and hi.max() <= 127
+    return lo.astype(np.int8), hi.astype(np.int8)
+
+
+def _tile_qt(q8, rows: int, lanes: int):
+    """[8, L0] i32 quant pattern -> [rows, lanes] tile (8x8 periodic;
+    the input is already lane-tiled to L0=128 by the caller; lanes must
+    be a multiple of L0 — guaranteed by the lw % 128 == 0 gate)."""
+    t = jnp.concatenate([q8] * (rows // 8), axis=0)
+    l0 = t.shape[1]
+    if lanes > l0:
+        t = jnp.concatenate([t] * (lanes // l0), axis=1)
+    return t[:, :lanes]
+
+
+def _fused_kernel(fy_ref, fcb_ref, fcr_ref, qt_ref,
+                  a1y_lo_ref, a1y_hi_ref, a1c_lo_ref, a1c_hi_ref,
+                  b_lo_ref, b_hi_ref, out_ref, *,
+                  oy: int, ox: int, rh: int, rw: int,
+                  ch_valid: int, cw_valid: int, ph: int, pw: int,
+                  grp: int):
+    i32 = jnp.int32
+    row = lax.broadcasted_iota(i32, (ph, pw), 0)
+    lane = lax.broadcasted_iota(i32, (ph, pw), 1)
+    keep = (row < i32(rh)) & (lane < i32(rw))
+    a1y = (a1y_lo_ref[...], a1y_hi_ref[...])
+    a1c = (a1c_lo_ref[...], a1c_hi_ref[...])
+    bmat = (b_lo_ref[...], b_hi_ref[...])
+    for g in range(grp):
+        lh, lw = fy_ref.shape[1:]
+        ch, cw = fcb_ref.shape[1:]
+        qt = qt_ref[g].astype(i32)                        # [24, 128]
+        qy = _tile_qt(qt[0:8], lh, lw)
+        qc = jnp.concatenate([_tile_qt(qt[8:16], ch, cw),
+                              _tile_qt(qt[16:24], ch, cw)], axis=1)
+        fy = fy_ref[g].astype(i32) * qy                   # dequant
+        fc = jnp.concatenate([fcb_ref[g], fcr_ref[g]],
+                             axis=1).astype(i32) * qc     # [CH, 2CW]
+        ws_y = _descale(_limb_matmul(fy, *a1y, left=True), 11)
+        ws_c = _descale(_limb_matmul(fc, *a1c, left=True), 11)
+        ws = jnp.concatenate([ws_y, ws_c], axis=0)        # [LH+CH, LW]
+        px = jnp.clip(
+            _descale(_limb_matmul(ws, *bmat, left=False), 18) + 128,
+            0, 255)
+        y = px[0:lh]
+        ucb = _upsample_plane(px[lh:lh + ch, 0:cw], ch_valid, cw_valid)
+        ucr = _upsample_plane(px[lh:lh + ch, cw:2 * cw],
+                              ch_valid, cw_valid)
+        out_ref[g] = _color_pack_aligned(
+            y, ucb, ucr, keep, oy=oy, ox=ox, ph=ph, pw=pw)
+
+
+def fused_backhalf_planes(fy: jnp.ndarray, fcb: jnp.ndarray,
+                          fcr: jnp.ndarray, qt: jnp.ndarray,
+                          win: CoefWindow, pad_hw: tuple,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Frequency-plane coefficients (io.jpeg read_coefs_batch
+    plane_layout=True: fy [B, lbh*8, lbw*8] i16, fcb/fcr
+    [B, lbh*4, lbw*4] i16, qt [B, 3, 64]) -> [B, PH, PW] packed-BGR i32
+    staging crops, bit-identical to jpegdec.backhalf_to_packed.
+    Geometry contract: win.oy % 8 == 0, oy + PH <= lbh*8, PW <= lbw*8
+    (same aligned-slice trick as upsample_color_pack)."""
+    B, lh, lw = fy.shape
+    ch, cw = fcb.shape[1:]
+    ph, pw = pad_hw
+    assert (win.oy % 8 == 0 and win.oy + ph <= lh and pw <= lw
+            and lw % 128 == 0)   # keeps every in-kernel concat aligned
+    # quant tables lane-tiled to 128 once in XLA (12 KB/image)
+    qt8 = qt.astype(jnp.int32).reshape(B, 3, 8, 8)
+    qt_t = jnp.tile(qt8, (1, 1, 1, 16)).reshape(B, 24, 128)
+    a1y = _band_limbs(lh // 8)
+    a1c = _band_limbs(ch // 8)
+    bl, bh_ = _band_limbs(lw // 8)
+    bmat = (bl.T.copy(), bh_.T.copy())      # I (x) M^T, limb-wise
+    grp = GT
+    pad = (-B) % grp
+    if pad:
+        z = functools.partial(jnp.pad, pad_width=((0, pad), (0, 0), (0, 0)))
+        fy, fcb, fcr = z(fy), z(fcb), z(fcr)
+        qt_t = jnp.pad(qt_t, ((0, pad), (0, 0), (0, 0)))
+    Bp = B + pad
+    kernel = functools.partial(
+        _fused_kernel, oy=win.oy, ox=win.ox, rh=win.rh, rw=win.rw,
+        ch_valid=win.ch_valid, cw_valid=win.cw_valid, ph=ph, pw=pw,
+        grp=grp)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Bp, ph, pw), jnp.int32),
+            grid=(Bp // grp,),
+            in_specs=[
+                pl.BlockSpec((grp, lh, lw), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, ch, cw), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, ch, cw), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, 24, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [const_spec] * 6,
+            out_specs=pl.BlockSpec((grp, ph, pw), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(fy, fcb, fcr, qt_t,
+          jnp.asarray(a1y[0]), jnp.asarray(a1y[1]),
+          jnp.asarray(a1c[0]), jnp.asarray(a1c[1]),
+          jnp.asarray(bmat[0]), jnp.asarray(bmat[1]))
+    return out[:B]
 
 
 def upsample_color_pack(y_u8: jnp.ndarray, cb_u8: jnp.ndarray,

@@ -441,10 +441,20 @@ def make_coef_decode_fn(dec: "MeterDecoder",
     pad_hw = (frontend_pad_hw()
               if dec.feed_pad_hw != crop_hw else None)
 
+    plane_shape = (win.lbh * 8, win.lbw * 8)
+    block_shape = (win.lbh * win.lbw, 64)
+    assert plane_shape != block_shape, "ambiguous coef layouts"
+
     @jax.jit
     def step(pa, cy, cb, cr, qt, ok, fb_packed, fb_idx):
-        packed = jpegdec.backhalf_to_packed(
-            cy, cb, cr, qt, win, pad_hw=pad_hw)
+        if tuple(cy.shape[1:]) == plane_shape:
+            # frequency-plane feed -> fully fused Pallas back-half
+            packed = jpegdec.backhalf_planes_to_packed(
+                cy, cb, cr, qt, win, pad_hw=pad_hw)
+        else:
+            assert tuple(cy.shape[1:]) == block_shape, cy.shape
+            packed = jpegdec.backhalf_to_packed(
+                cy, cb, cr, qt, win, pad_hw=pad_hw)
         packed = packed.at[fb_idx].set(fb_packed, mode="drop")
         return dec._fn(pa, packed, ok)
 

@@ -176,6 +176,93 @@ def test_unsupported_layouts_fall_back():
     assert ok[0]
 
 
+def test_plane_layout_matches_block_layout():
+    """The C reader's frequency-plane output mode (plane_layout=True)
+    must be exactly the block layout rearranged — over corpus frames
+    (fast reader) and PIL fuzz frames (both readers), including the
+    chroma planes and ok flags."""
+    files = sorted(glob.glob(os.path.join(SAMPLE1, "*.jpg")))[:12]
+    datas = [open(f, "rb").read() for f in files]
+    rng = np.random.default_rng(3)
+    datas.append(_encode(_rng_frame(rng, 480, 640), quality=90,
+                         subsampling=2))
+    win = jpegdec.coef_window(RECT1, *FRAME_WH)
+
+    def to_plane(blk, bh, bw):
+        n = blk.shape[0]
+        return (blk.reshape(n, bh, bw, 8, 8).transpose(0, 1, 3, 2, 4)
+                .reshape(n, bh * 8, bw * 8))
+
+    b = jio.read_coefs_batch(datas, win, FRAME_WH)
+    p = jio.read_coefs_batch(datas, win, FRAME_WH, plane_layout=True)
+    np.testing.assert_array_equal(p[4], b[4])
+    np.testing.assert_array_equal(p[3], b[3])
+    np.testing.assert_array_equal(p[0], to_plane(b[0], win.lbh, win.lbw))
+    np.testing.assert_array_equal(
+        p[1], to_plane(b[1], win.lbh // 2, win.lbw // 2))
+    np.testing.assert_array_equal(
+        p[2], to_plane(b[2], win.lbh // 2, win.lbw // 2))
+
+
+def test_fused_backhalf_matches_xla():
+    """The fully fused Pallas back-half (dequant + int8-limb MXU IDCT +
+    upsample + color + pack, ops/pallas_jpeg.fused_backhalf_planes)
+    must be bit-identical to the XLA block-layout graph — on corpus
+    frames AND on adversarial full-range coefficients (|coef| up to
+    32767, qt up to 255), where the mod-2^32 wraparound semantics of
+    the limb decomposition are what's under test."""
+    from meterelf_tpu.ops.pallas_jpeg import fused_backhalf_planes
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    interpret = dev.platform != "tpu"
+    if interpret and not os.environ.get("METERELF_FULL_GOLDEN"):
+        pytest.skip("interpret-mode compile of the fused back-half "
+                    "takes minutes on CPU: set METERELF_FULL_GOLDEN=1 "
+                    "(runs always on TPU)")
+    win = jpegdec.coef_window(RECT1, *FRAME_WH)
+    pad_hw = (256, 256)
+
+    files = sorted(glob.glob(os.path.join(SAMPLE1, "*.jpg")))[:4]
+    datas = [open(f, "rb").read() for f in files]
+    fy, fcb, fcr, qt, ok = jio.read_coefs_batch(
+        datas, win, FRAME_WH, plane_layout=True)
+    by, bcb, bcr, qt2, _ = jio.read_coefs_batch(datas, win, FRAME_WH)
+    ref = np.asarray(jax.jit(
+        lambda a, b, c, q: jpegdec.backhalf_to_packed(
+            a, b, c, q, win, pad_hw=pad_hw))(by, bcb, bcr, qt2))
+    got = np.asarray(jax.jit(
+        lambda a, b, c, q: fused_backhalf_planes(
+            a, b, c, q, win, pad_hw, interpret=interpret))(
+                fy, fcb, fcr, qt))
+    np.testing.assert_array_equal(got[ok], ref[ok])
+
+    rng = np.random.default_rng(20260819)
+    B = 2
+    lh, lw = win.lbh * 8, win.lbw * 8
+    fy_a = rng.integers(-32768, 32768, (B, lh, lw)).astype(np.int16)
+    fcb_a = rng.integers(-32768, 32768,
+                         (B, lh // 2, lw // 2)).astype(np.int16)
+    fcr_a = rng.integers(-32768, 32768,
+                         (B, lh // 2, lw // 2)).astype(np.int16)
+    qt_a = rng.integers(1, 256, (B, 3, 64)).astype(np.uint16)
+
+    def to_blocks(fp, bh, bw):
+        return (fp.reshape(B, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
+                .reshape(B, bh * bw, 64))
+
+    ref_a = np.asarray(jax.jit(
+        lambda a, b, c, q: jpegdec.backhalf_to_packed(
+            a, b, c, q, win, pad_hw=pad_hw))(
+            to_blocks(fy_a, win.lbh, win.lbw),
+            to_blocks(fcb_a, win.lbh // 2, win.lbw // 2),
+            to_blocks(fcr_a, win.lbh // 2, win.lbw // 2), qt_a))
+    got_a = np.asarray(jax.jit(
+        lambda a, b, c, q: fused_backhalf_planes(
+            a, b, c, q, win, pad_hw, interpret=interpret))(
+                fy_a, fcb_a, fcr_a, qt_a))
+    np.testing.assert_array_equal(got_a, ref_a)
+
+
 def _segments(data):
     """Split a JPEG byte stream into (marker, absolute start, seg bytes)
     triples up to SOS — enough structure to splice APPn/DRI segments
