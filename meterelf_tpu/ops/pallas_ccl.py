@@ -81,49 +81,31 @@ def _seg_min_sweep(v, rids, S, sub, lane):
     return v
 
 
-def _seg_or_sweep(v, rids, S, sub, lane):
-    for (axis, reverse), rid in rids:
-        vp = rid * 2 + v.astype(jnp.int32)
-        vp = _blk_scan(vp, axis, reverse, jnp.maximum, S, sub, lane)
-        v = (vp - rid * 2) > 0
-    return v
-
-
-def _make_rids(wall, S, sub, lane):
-    """Run ids for all four directions from TWO blocked cumsums.
-
-    A valid rid only needs (a) constancy within each non-wall run and
-    (b) strict monotone increase across runs IN SCAN ORDER — the sweeps
-    use it purely as a segment offset. The forward prefix-sum of the
-    wall indicator satisfies both forward; its NEGATION satisfies both
-    in the reverse scan (crossing a wall while the index decreases
-    lowers the forward count, so -fwd rises). This halves the rid
-    prologue from 24 blocked-scan steps to 12."""
-    w = wall.astype(jnp.int32)
-    fr = _blk_scan(w, 1, False, jnp.add, S, sub, lane)
-    fc = _blk_scan(w, 0, False, jnp.add, S, sub, lane)
+def _make_transition_rids(dom, S, sub, lane):
+    """Run ids whose runs are maximal spans of CONSTANT `dom` (bool)
+    within each 64-block — the segmentation the lockstep label+outside
+    field needs: every cell belongs to exactly one run, label runs and
+    background runs never mix. A valid rid only needs (a) constancy
+    within each run and (b) strict monotone increase across runs IN
+    SCAN ORDER — the sweeps use it purely as a segment offset. The
+    forward prefix-sum of the transition indicator (cell differs from
+    its scan predecessor) satisfies both forward; its NEGATION
+    satisfies both in the reverse scan (crossing a transition while
+    the index decreases lowers the forward count, so -fwd rises). Two
+    blocked cumsums cover all four directions."""
+    d = dom.astype(jnp.int32)
+    tr_row = jnp.where(lane >= jnp.int32(1),
+                       d ^ _shift_prev(d, 1, 1, S), jnp.int32(0))
+    tr_col = jnp.where(sub >= jnp.int32(1),
+                       d ^ _shift_prev(d, 1, 0, S), jnp.int32(0))
+    fr = _blk_scan(tr_row, 1, False, jnp.add, S, sub, lane)
+    fc = _blk_scan(tr_col, 0, False, jnp.add, S, sub, lane)
     return [
         ((1, False), fr),
         ((1, True), -fr),
         ((0, False), fc),
         ((0, True), -fc),
     ]
-
-
-def _complement_rids(rids, sub, lane):
-    """Run-ids against the COMPLEMENT wall set, derived per direction
-    from the identity sum(1-w) = count - sum(w): four subtractions from
-    iotas instead of another 12 blocked-scan steps. Forward entries
-    hold fwd complement counts; reverse entries hold their negation
-    (rid_in = -fwd, so -(idx+1) - rid_in = -(idx+1 - fwd))."""
-    out = []
-    for (axis, reverse), rid in rids:
-        idx = lane if axis == 1 else sub
-        if reverse:
-            out.append(((axis, reverse), -(idx + jnp.int32(1)) - rid))
-        else:
-            out.append(((axis, reverse), idx + jnp.int32(1) - rid))
-    return out
 
 
 def _min3x3(x, S, sub, lane, big):
@@ -189,39 +171,63 @@ def _run_until(k_max: int, body, x0, reduce_eq):
     return xf, redf
 
 
-def _run_until_pairs(k_halves: int, half_fwd, half_rev, x0, reduce_eq):
-    """Alternating-schedule variant of _run_until: each iteration runs
-    a forward-sweep half then a reverse-sweep half, both with STATIC
-    roll amounts (selecting the direction at runtime forces dynamic
-    rotates — measured 18% slower end-to-end, docs/performance.md).
-    Convergence is detected on the SECOND half only: labels move
-    monotonically, so a no-op first half forces a no-op second half —
-    nothing is missed, and the flag equals the XLA path's "last
-    executed half changed nothing" (components.py _iterate runs
-    k_halves halves unrolled; both reach the same unique fixpoint)."""
-    assert k_halves % 2 == 0
-    red0 = reduce_eq(jnp.zeros_like(x0, jnp.int32))
+def _run_lockstep_pairs(k_lab: int, k_out: int, half_fwd, half_rev,
+                        v0, masked, red_lab_fn, red_out_fn):
+    """Run the label and outside-flood propagations IN LOCKSTEP on one
+    packed field (labels on masked cells, outside flag on background
+    cells): the two phases are independent computations, so sharing the
+    per-half segmented sweeps halves the sweep work without changing
+    either phase's per-half trajectory. Each phase FREEZES at its own
+    cap (k_lab / k_out halves) so capped partial states — and the
+    per-window convergence flags, latched at each phase's last executed
+    pair — stay bit-identical to the sequential schedule the XLA path
+    runs. Each iteration runs a forward-sweep half then a reverse-sweep
+    half, both with STATIC roll amounts (selecting the direction at
+    runtime forces dynamic rotates — measured 18% slower end-to-end,
+    docs/performance.md). Convergence is detected on the SECOND half of
+    each pair only: both phases move monotonically, so a no-op first
+    half forces a no-op second half — nothing is missed, and the flag
+    equals the XLA path's "last executed half changed nothing"
+    (components.py _iterate runs the halves unrolled; both reach the
+    same unique fixpoint). Equality is tested via subtraction because a
+    direct == on i1-derived i32 casts gets canonicalized back to an
+    i1-vector cmpi Mosaic cannot legalize."""
+    assert k_lab % 2 == 0 and k_out % 2 == 0
+    PL, PO = k_lab // 2, k_out // 2
+    i32 = jnp.int32
+    z = jnp.zeros_like(v0, i32)
+    red0l, red0o = red_lab_fn(z), red_out_fn(z)
 
     def cond(c):
-        i, done, _, _ = c
-        return (i < jnp.int32(k_halves // 2)) & jnp.logical_not(done)
+        i, _, _, _, dl, do_ = c
+        lab_live = (i < i32(PL)) & jnp.logical_not(dl)
+        out_live = (i < i32(PO)) & jnp.logical_not(do_)
+        return lab_live | out_live
 
     def step(c):
-        i, _, x, _ = c
-        x1 = half_fwd(x)
-        x2 = half_rev(x1)
-        # equality via subtraction: both halves of the OUT phase are
-        # i1-derived i32 casts, and a direct x2 == x1 gets canonicalized
-        # back to an i1-vector cmpi Mosaic cannot legalize
-        red = reduce_eq(
-            jnp.where((x2 - x1) == jnp.int32(0), jnp.int32(1),
-                      jnp.int32(0)))
-        done = jnp.min(red) > 0
-        return (i + jnp.int32(1), done, x2, red)
+        i, v, redl, redo, dl, do_ = c
+        v1 = half_fwd(v)
+        v2 = half_rev(v1)
+        eq = jnp.where((v2 - v1) == i32(0), i32(1), i32(0))
+        lab_act = i < i32(PL)
+        out_act = i < i32(PO)
+        # freeze each phase's cells once ITS cap is reached (the other
+        # phase may still be sweeping)
+        nv = jnp.where(masked,
+                       jnp.where(lab_act, v2, v),
+                       jnp.where(out_act, v2, v))
+        redl2 = red_lab_fn(jnp.where(masked, eq, i32(1)))
+        redo2 = red_out_fn(jnp.where(masked, i32(1), eq))
+        redl = jnp.where(lab_act, redl2, redl)
+        redo = jnp.where(out_act, redo2, redo)
+        dl2 = dl | (lab_act & (jnp.min(redl2) > 0))
+        do2 = do_ | (out_act & (jnp.min(redo2) > 0))
+        return (i + i32(1), nv, redl, redo, dl2, do2)
 
-    _, _, xf, redf = lax.while_loop(
-        cond, step, (jnp.int32(0), jnp.bool_(False), x0, red0))
-    return xf, redf
+    _, vf, redl, redo, _, _ = lax.while_loop(
+        cond, step,
+        (i32(0), v0, red0l, red0o, jnp.bool_(False), jnp.bool_(False)))
+    return vf, redl, redo
 
 
 def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
@@ -241,43 +247,38 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
     def reduce_eq(eq):
         return jnp.min(eq.reshape(grp, W, lanes), axis=1)  # [grp, lanes]
 
-    # ---- labels ----
-    label_rids = _make_rids(~masked, S, sub, lane)
-    lab_fwd = [label_rids[0], label_rids[2]]   # row-fwd, col-fwd
-    lab_rev = [label_rids[1], label_rids[3]]   # row-rev, col-rev
-
-    def label_half(rids_sub, lab):
-        lab = jnp.where(
-            masked, jnp.minimum(lab, _min3x3(lab, S, sub, lane, N)), BIG)
-        lab = _seg_min_sweep(lab, rids_sub, S, sub, lane)
-        return jnp.where(masked, lab, BIG)
-
-    labels, red_lab = _run_until_pairs(
-        k_label,
-        functools.partial(label_half, lab_fwd),
-        functools.partial(label_half, lab_rev),
-        jnp.where(masked, idx, BIG), reduce_eq)
-
-    # ---- outside flood ----
+    # ---- labels + outside flood, in lockstep on one packed field ----
+    # masked cells carry the label (own flat idx, min-propagated,
+    # always <= N-1); background cells carry the outside flag as
+    # 0 = outside / 1 = not-reached (min-propagating 0 IS the
+    # directional prefix-OR the sequential schedule ran). Runs are
+    # segmented at every masked<->background transition, so the two
+    # phases share the four segmented sweeps — the dominant per-pass
+    # cost — while each phase's per-half trajectory (3x3 glue, sweep
+    # order, caps) is exactly the sequential one.
     bg = ~masked
-    bg_rids = _complement_rids(label_rids, sub, lane)
-    bg_fwd = [bg_rids[0], bg_rids[2]]
-    bg_rev = [bg_rids[1], bg_rids[3]]
+    rids = _make_transition_rids(masked, S, sub, lane)
+    rids_fwd = [rids[0], rids[2]]   # row-fwd, col-fwd
+    rids_rev = [rids[1], rids[3]]   # row-rev, col-rev
 
-    # the while carry must be i32 — Mosaic cannot legalize scf.yield of
-    # an i1 vector (experiments: /tmp/while_test.py boolvec)
-    def out_half_i32(rids_sub, out_i):
-        out = out_i != 0
-        o = out | (bg & _any4(out, S, sub, lane))
-        o = _seg_or_sweep(o, rids_sub, S, sub, lane)
-        return (o & bg).astype(i32)
+    def combined_half(rids_sub, v):
+        lab_view = jnp.where(masked, v, BIG)
+        lab_new = jnp.minimum(v, _min3x3(lab_view, S, sub, lane, N))
+        out_is = bg & (v == i32(0))
+        grow = out_is | (bg & _any4(out_is, S, sub, lane))
+        v = jnp.where(masked, lab_new,
+                      jnp.where(grow, i32(0), v))
+        return _seg_min_sweep(v, rids_sub, S, sub, lane)
 
-    outside_i, red_out = _run_until_pairs(
-        k_outside,
-        functools.partial(out_half_i32, bg_fwd),
-        functools.partial(out_half_i32, bg_rev),
-        (bg & ~disk).astype(i32), reduce_eq)
-    outside = outside_i != 0
+    v0 = jnp.where(masked, idx,
+                   jnp.where(disk, i32(1), i32(0)))
+    field, red_lab, red_out = _run_lockstep_pairs(
+        k_label, k_outside,
+        functools.partial(combined_half, rids_fwd),
+        functools.partial(combined_half, rids_rev),
+        v0, masked, reduce_eq, reduce_eq)
+    labels = jnp.where(masked, field, BIG)
+    outside = bg & (field == i32(0))
     enclosed = bg & ~outside
     support = masked | enclosed
 

@@ -139,6 +139,39 @@ def data_parallel_decoder(decoder: "MeterDecoder", mesh: Mesh,
     return run
 
 
+class MeshDecoder:
+    """Drop-in stream decoder running batches data-parallel over a mesh.
+
+    Wraps a single-chip MeterDecoder with `data_parallel_decoder` so the
+    streaming pipeline (stream.py) can scale across chips with no other
+    change: `__call__` shards the batch over the mesh's data axis,
+    `aggregate` reduces per-batch metrics with psum-class collectives
+    (ICI within a slice, DCN across hosts), and `rescue_numpy` delegates
+    the rare CCL-rescue re-decode to the wrapped single-chip decoder on
+    gathered host arrays (rescue is a host-coordinated slow path; it is
+    not worth sharding)."""
+
+    def __init__(self, decoder, mesh: Mesh, axis: str = "data") -> None:
+        self.inner = decoder
+        self.mesh = mesh
+        self.axis = axis
+        self._run = data_parallel_decoder(decoder, mesh, axis)
+
+    def __call__(self, crops_u8, load_ok=None):
+        return self._run(crops_u8, load_ok)
+
+    def aggregate(self, res) -> tuple:
+        """(n_ok, n_err, mean value over ok) for one batch's sharded
+        results, reduced across the mesh on device."""
+        return aggregate_metrics(res.value, res.err, self.mesh, self.axis)
+
+    def rescue_numpy(self, crops_u8, res):
+        import jax as _jax
+
+        return self.inner.rescue_numpy(
+            np.asarray(crops_u8), _jax.tree.map(np.asarray, res))
+
+
 def aggregate_metrics(values: jax.Array, err: jax.Array, mesh: Mesh,
                       axis: str = "data") -> tuple:
     """Cross-chip aggregate statistics via psum-class collectives:

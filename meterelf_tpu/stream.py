@@ -41,6 +41,10 @@ class StreamReport:
     flow_lph: Optional[float]            # liters/hour over the window
     leak_suspected: bool
     images_per_sec: float
+    # mesh mode only: this batch's (n_ok, n_err, mean value over ok)
+    # reduced ON DEVICE across the mesh with psum-class collectives —
+    # the multi-chip metric path (parallel/mesh.aggregate_metrics)
+    device_agg: Optional[Tuple[int, int, float]] = None
 
 
 @dataclass
@@ -68,6 +72,7 @@ def stream_decode(
     frames: Iterable[Tuple[str, np.ndarray]],
     *,
     decoder: Optional[MeterDecoder] = None,
+    mesh=None,
     batch_size: int = 256,
     window_seconds: float = 600.0,
     leak_min_flow_lph: float = 0.5,
@@ -79,8 +84,21 @@ def stream_decode(
 
     Yields a StreamReport per batch. Dispatch is pipelined: batch k+1 is
     enqueued before batch k's results are pulled to the host.
+
+    With `mesh` (a jax.sharding.Mesh), each batch is sharded over the
+    mesh's data axis (parallel/mesh.MeshDecoder) and every report
+    carries `device_agg`, the batch metrics reduced across chips on
+    device — the multi-chip deployment shape. batch_size must be a
+    multiple of the mesh size (the final short batch is padded up).
     """
     dec = decoder or MeterDecoder(params, exact=True)
+    if mesh is not None:
+        from .parallel.mesh import MeshDecoder
+
+        assert batch_size % mesh.size == 0, (
+            f"batch_size {batch_size} not divisible by mesh size "
+            f"{mesh.size}")
+        dec = MeshDecoder(dec, mesh)
 
     def batches():
         buf_names: List[str] = []
@@ -121,7 +139,8 @@ def stream_decode(
                         window_seconds=window_seconds,
                         leak_min_flow_lph=leak_min_flow_lph,
                         leak_bins=leak_bins, timestamps=timestamps,
-                        timers=timers)
+                        timers=timers,
+                        agg=dec.aggregate if mesh is not None else None)
 
 
 def stream_decode_bytes(
@@ -193,6 +212,7 @@ def _stream_core(
     leak_bins: int,
     timestamps: Optional[Iterable[float]],
     timers: Optional[StageTimers],
+    agg=None,
 ) -> Iterator[StreamReport]:
     """Shared pipelined drain/report loop: batch k+1 is dispatched
     before batch k's results are pulled to the host."""
