@@ -226,6 +226,12 @@ def _stream_core(
         if not bool(np.asarray(res.converged).all()):
             with tm.stage("rescue"):
                 res = rescue(payload, res)
+        device_agg = None
+        if agg is not None and len(names) == np.asarray(res.value).shape[0]:
+            # full batches only: a padded final batch would count its
+            # zero-filled pad rows as errors in the device-side reduction
+            n_ok, n_err, mean_v = agg(res)
+            device_agg = (int(n_ok), int(n_err), float(mean_v))
         err = np.asarray(res.err)[: len(names)]
         values = np.asarray(res.value)[: len(names)]
         now = time.time()
@@ -272,6 +278,7 @@ def _stream_core(
             flow_lph=flow,
             leak_suspected=leak,
             images_per_sec=state.frames_total / elapsed,
+            device_agg=device_agg,
         )
 
     for names, payload in batch_iter:
@@ -332,7 +339,13 @@ def _filename_timestamp(name: str) -> Optional[float]:
 def main(argv: Optional[Sequence[str]] = None) -> None:
     """CLI for the continuous-replay streaming mode (BASELINE.json
     config 5): `python -m meterelf_tpu.stream PARAMS_FILE [IMAGE...]
-    [--repeat N] [--batch B]` prints one rolling report line per batch.
+    [--repeat N] [--batch B] [--mesh N|all]` prints one rolling report
+    line per batch.
+
+    `--mesh` shards every batch data-parallel over the first N devices
+    (or all of them) and appends the psum-reduced per-batch metrics to
+    each report line — the multi-chip deployment shape. Multi-host runs
+    additionally set METERELF_DISTRIBUTED=1 (parallel/mesh.py).
 
     When every filename embeds a capture timestamp (YYYYMMDDHHMMSS...),
     flow/leak windows run on recorded time (repeats continue past the
@@ -350,7 +363,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     repeat, batch = 1, 256
     trace_dir: Optional[str] = None
     coef_wh: Optional[Tuple[int, int]] = None
-    for flag in ("--repeat", "--batch", "--trace", "--coef"):
+    mesh_arg: Optional[str] = None
+    for flag in ("--repeat", "--batch", "--trace", "--coef", "--mesh"):
         if flag in args:
             i = args.index(flag)
             val = args[i + 1]
@@ -362,14 +376,32 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             elif flag == "--coef":
                 w, h = val.lower().split("x")
                 coef_wh = (int(w), int(h))
+            elif flag == "--mesh":
+                mesh_arg = val
             else:
                 trace_dir = val
     if len(args) < 2:
         print("usage: python -m meterelf_tpu.stream PARAMS_FILE "
               "IMAGE_FILE... [--repeat N] [--batch B] [--trace DIR] "
-              "[--coef WxH]",
+              "[--coef WxH] [--mesh N|all]",
               file=sys.stderr)
         raise SystemExit(1)
+    mesh = None
+    if mesh_arg is not None:
+        if coef_wh is not None:
+            print("--mesh and --coef are mutually exclusive (the "
+                  "coefficient feed is single-chip for now)",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        import jax
+
+        from .parallel.mesh import initialize_distributed, make_mesh
+
+        initialize_distributed()  # no-op unless METERELF_DISTRIBUTED=1
+        devs = jax.devices()
+        if mesh_arg != "all":
+            devs = devs[:int(mesh_arg)]
+        mesh = make_mesh(devs)
     params = Params.load(args[0])
     if coef_wh is not None:
         # coefficient feed: host entropy-decodes only; frames are raw
@@ -398,7 +430,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             return stream_decode_bytes(
                 params, frames, coef_wh, batch_size=batch,
                 timestamps=timestamps, timers=timers)
-        return stream_decode(params, frames, batch_size=batch,
+        return stream_decode(params, frames, batch_size=batch, mesh=mesh,
                              timestamps=timestamps, timers=timers)
 
     with device_trace(trace_dir):
@@ -407,12 +439,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     else f"{rep.flow_lph:.3f}")
             last = ("?" if rep.last_value is None
                     else f"{rep.last_value:07.3f}")
+            agg_sfx = ""
+            if rep.device_agg is not None:
+                n_ok, n_err, mean_v = rep.device_agg
+                agg_sfx = (f" mesh[ok={n_ok} err={n_err} "
+                           f"mean={mean_v:.3f}]")
             print(
                 f"frames={rep.frames_total} ok={rep.frames_ok} "
                 f"err={rep.frames_error} last={last} "
                 f"cum={rep.cumulative_liters:.3f}L flow={flow}L/h "
                 f"leak={'YES' if rep.leak_suspected else 'no'} "
-                f"rate={rep.images_per_sec:.0f}img/s", flush=True)
+                f"rate={rep.images_per_sec:.0f}img/s{agg_sfx}", flush=True)
     if timers is not None:
         print(timers.report(), file=sys.stderr)
 

@@ -214,3 +214,54 @@ def test_stream_cli_trace_flag(capsys, tmp_path):
                 for r, _d, fs in os.walk(trace_dir) for f in fs]
     assert any(f.endswith((".xplane.pb", ".trace.json.gz"))
                for f in captured), captured
+
+
+def test_stream_mesh_matches_single(params1, decoder1):
+    """The mesh-sharded stream (parallel/mesh.MeshDecoder over the
+    8-device CPU mesh) must report the same rolling statistics as the
+    single-chip stream, and each full batch's device_agg (psum-reduced
+    on device) must equal the host-side counts."""
+    import jax
+    from glob import glob
+    from meterelf_tpu.parallel.mesh import make_mesh
+    from meterelf_tpu.stream import replay_files
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))[2:10]
+    ts = list(np.arange(1000.0, 1000.0 + 10.0 * 2 * len(files), 10.0))
+    ref = list(stream_decode(
+        params1, replay_files(params1, files, repeat=2), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts)))
+    mesh = make_mesh(jax.devices("cpu"))
+    got = list(stream_decode(
+        params1, replay_files(params1, files, repeat=2), decoder=decoder1,
+        mesh=mesh, batch_size=8, timestamps=iter(ts)))
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        assert a.frames_ok == b.frames_ok
+        assert a.frames_error == b.frames_error
+        assert a.last_value == b.last_value
+        assert a.cumulative_liters == b.cumulative_liters
+        assert a.flow_lph == b.flow_lph
+    # cumulative host counts vs per-batch device psums
+    n_ok = sum(r.device_agg[0] for r in got if r.device_agg)
+    n_err = sum(r.device_agg[1] for r in got if r.device_agg)
+    assert all(r.device_agg is not None for r in got)  # batches are full
+    assert n_ok == got[-1].frames_ok
+    assert n_err == got[-1].frames_error
+
+
+def test_stream_cli_mesh_flag(capsys):
+    """`--mesh 8` shards the stream over the virtual CPU mesh and
+    appends the psum-reduced metrics to every report line."""
+    from glob import glob
+    from meterelf_tpu import stream as stream_mod
+
+    files = sorted(glob("/root/reference/sample-images1/2018*.jpg"))[2:6]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    stream_mod.main(
+        ["/root/reference/sample-images1/params.yml", *files,
+         "--repeat", "2", "--batch", "8", "--mesh", "8"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and out[-1].startswith("frames=8 ")
+    assert "mesh[ok=" in out[-1]
