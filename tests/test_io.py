@@ -127,3 +127,17 @@ def test_packed_loader_matches_crop_plus_pack(params1):
 
     assert np.array_equal(ok1, ok2)
     assert np.array_equal(packed1, packed2)
+
+
+def test_decoder_selfcheck_runs_and_pins_parity(monkeypatch):
+    """The embedded-fixture self-check passed at lib load (or _get_lib
+    would have raised); a digest drift must raise with diagnostics."""
+    from meterelf_tpu.io import _selfcheck_data as sd
+
+    jio._decoder_selfcheck()  # idempotent pass on the live libjpeg
+    monkeypatch.setattr(sd, "CHECK_BGR_SHA256", "0" * 64)
+    monkeypatch.delenv("METERELF_SKIP_DECODER_CHECK", raising=False)
+    with pytest.raises(RuntimeError, match="pinned parity target"):
+        jio._decoder_selfcheck()
+    monkeypatch.setenv("METERELF_SKIP_DECODER_CHECK", "1")
+    jio._decoder_selfcheck()  # explicit opt-out proceeds
