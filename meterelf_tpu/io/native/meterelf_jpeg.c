@@ -1024,7 +1024,12 @@ static void mej_br_fill(mej_br *b)
 
 static inline int mej_extend(uint32_t v, int s)
 {
-    return (int)v < (1 << (s - 1)) ? (int)v - (1 << s) + 1 : (int)v;
+    /* branchless sign extension (jdhuff HUFF_EXTEND semantics): the
+     * top bit of the s received bits decides positive vs negative, a
+     * ~50/50 data-dependent branch the predictor cannot learn — the
+     * arithmetic form is measurably faster in the hot loop */
+    int32_t neg = (int32_t)(v >> (s - 1)) - 1;   /* 0 or -1 */
+    return (int32_t)v + (neg & (1 - (1 << s)));
 }
 
 /* Decode the next Huffman code from the (already filled) buffer.
