@@ -79,11 +79,11 @@ def _stats_kernel(okey_ref, contrib_ref, out_ref):
         a = (hi == sub64).astype(i8)                 # [64, N] onehot(hi)
         onelo = lo == sub64
         mb = (onelo & (bbit > 0)).astype(i8)
-        m1 = (onelo & ((pc & i32(1)) > 0)).astype(i8)
-        m2 = (onelo & ((pc & i32(2)) > 0)).astype(i8)
+        # one-matmul doubled area: payload (pc & 3) <= 3 fits i8 and
+        # sum(a * (pc & 3)) == h1 + 2*h2 (see _stats_fused_kernel)
+        pay = jnp.where(onelo, pc & i32(3), i32(0)).astype(i8)
         hb = dot_nt(a, mb)                           # [64, 64] B
-        h2 = dot_nt(a, m2)
-        ha = dot_nt(a, m1) + h2 + h2                 # [64, 64] A2
+        ha = dot_nt(a, pay)                          # [64, 64] A2
         key = jnp.where(hb > 0, ha * i32(4096) + cell, i32(-1))
         out_ref[w, :] = jnp.full((128,), jnp.max(key), i32)
 
@@ -149,11 +149,13 @@ def _stats_fused_kernel(okey_ref, out_ref):
         a = (hi == sub64).astype(i8)                 # [64, N] onehot(hi)
         onelo = lo == sub64
         mb = (onelo & (bbit > 0)).astype(i8)
-        m1 = (onelo & ((pc & i32(1)) > 0)).astype(i8)
-        m2 = (onelo & ((pc & i32(2)) > 0)).astype(i8)
+        # the doubled-area sum folds into ONE matmul: the payload
+        # (pc & 3) = (pc & 1) + 2*(pc >> 1 & 1) <= 3 fits i8, and
+        # sum(a * payload) == h1 + 2*h2 term-by-term — bit-identical
+        # to the two-matmul form for the 2-bit contributions
+        pay = jnp.where(onelo, pc & i32(3), i32(0)).astype(i8)
         hb = dot_nt(a, mb)                           # [64, 64] B
-        h2 = dot_nt(a, m2)
-        ha = dot_nt(a, m1) + h2 + h2                 # [64, 64] A2
+        ha = dot_nt(a, pay)                          # [64, 64] A2
         key = jnp.where(hb > 0, ha * i32(4096) + cell, i32(-1))
         km = jnp.max(key)
         anym = jnp.max((ok >> 1) & i32(1))           # has_any (masked bit)
