@@ -353,19 +353,50 @@ def end_to_end_rate_coef(dec, params, files, frames: int = 2048):
     assert np.isfinite(checksum)
 
     # host entropy stage alone: sweep the C pool's thread count (the
-    # feed's scaling curve — VERDICT r2 item 4), 1-thread first so the
-    # per-core floor is a direct measurement, not a division
+    # feed's scaling curve — VERDICT r2 item 4) in a SUBPROCESS whose
+    # jax backend never initializes — the live PJRT/tunnel client in
+    # this process keeps background threads on the single core and was
+    # measured to depress the host-only number by ~25%
     n = len(chunks) * BATCH
+    import json as _json
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--entropy-sweep",
+         str(pad_hw[0]), str(pad_hw[1]), str(n)],
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    sweep = {int(k): v
+             for k, v in _json.loads(
+                 r.stdout.strip().splitlines()[-1]).items()}
+    ncpu = os.cpu_count() or 1
+    return n / dt, sweep[ncpu], sweep[1], sweep
+
+
+def entropy_sweep_main(pad_hw, frames: int) -> None:
+    """--entropy-sweep child: pure-host coefficient-feed thread sweep
+    (no jax backend, no tunnel threads on the clock). Prints one JSON
+    line {threads: img_per_s}; 1-thread first so the per-core floor is
+    a direct measurement, not a division."""
+    from meterelf_tpu.params import Params
+    from meterelf_tpu.io import jpeg as jio
+
+    params = Params.load(f"{SAMPLE1}/params.yml")
+    files = sorted(glob(f"{SAMPLE1}/*.jpg"))
+    datas_corpus = [open(f, "rb").read() for f in files]
+    reps = -(-frames // len(datas_corpus))
+    datas = (datas_corpus * reps)[:frames]
     ncpu = os.cpu_count() or 1
     threads = sorted({1, 2, 4, 8, ncpu} & set(range(1, ncpu + 1)))
-    sweep = {}
+    out = {}
     for t in threads:
-        t0 = time.time()
-        for chunk in chunks:
-            jio.load_coef_feed(chunk, params.meter_rect, (480, 640),
-                               pad_hw, num_threads=t)
-        sweep[t] = n / (time.time() - t0)
-    return n / dt, sweep[ncpu], sweep[1], sweep
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jio.load_coef_feed(datas, params.meter_rect, (480, 640),
+                               tuple(pad_hw), num_threads=t)
+            best = min(best, time.time() - t0)
+        out[str(t)] = round(len(datas) / best, 1)
+    print(json.dumps(out))
 
 
 def device_rate_with_backhalf(dec, params, files):
@@ -373,13 +404,20 @@ def device_rate_with_backhalf(dec, params, files):
     feed): corpus coefficient windows staged once, replayed as one
     lax.map dispatch (same floor-amortization rules as the headline
     metric; the body xors a coefficient with the loop index so XLA
-    cannot hoist it)."""
+    cannot hoist it).
+
+    Runs at its own batch size (default 512, METERELF_BENCH_BATCH_BH):
+    the back-half's IDCT/upsample matmuls amortize better at larger
+    batches than the dial-decode graph, whose sweet spot stays 256 —
+    production picks the best batch per pipeline shape (measured
+    43.3k/45.6k/46.7k img/s at 256/384/512)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
     from meterelf_tpu.io import jpeg as jio
     from meterelf_tpu.pipeline.decode import make_coef_decode_fn
 
+    BATCH = int(os.environ.get("METERELF_BENCH_BATCH_BH", "512"))
     step, _win, pad_hw = make_coef_decode_fn(dec, (480, 640))
     datas = [open(f, "rb").read() for f in files]
     reps_b = -(-BATCH // len(datas))
@@ -411,4 +449,8 @@ def device_rate_with_backhalf(dec, params, files):
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--entropy-sweep":
+        entropy_sweep_main((int(sys.argv[2]), int(sys.argv[3])),
+                           int(sys.argv[4]) if len(sys.argv) > 4 else 2048)
+    else:
+        main()
