@@ -173,6 +173,40 @@ class MeshDecoder:
             np.asarray(crops_u8), _jax.tree.map(np.asarray, res))
 
 
+class MeshCoefStep:
+    """Mesh-sharded coefficient-feed step: wraps the jitted function of
+    pipeline.decode.make_coef_decode_fn so the batch-dim feed arrays
+    (coefficient planes, quant tables, load flags) are sharded over the
+    mesh's data axis while the params and the (tiny, <= fb_slots)
+    pixel-fallback scatter payload stay replicated — the full
+    bytes-to-readings production shape across chips. The fallback
+    scatter indexes global batch rows; SPMD partitioning handles the
+    cross-shard writes (at most fb_slots rows per batch)."""
+
+    def __init__(self, step, mesh: Mesh, axis: str = "data") -> None:
+        batch = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        self.mesh = mesh
+        self.axis = axis
+        self._fn = jax.jit(
+            step,
+            in_shardings=(repl, batch, batch, batch, batch, batch,
+                          repl, repl),
+            out_shardings=batch,
+        )
+
+    def __call__(self, pa, cy, cb, cr, qt, ok, fb_packed, fb_idx):
+        def lift(a):
+            return shard_host_batch(np.asarray(a), self.mesh, self.axis)
+
+        return self._fn(pa, lift(cy), lift(cb), lift(cr), lift(qt),
+                        lift(ok), np.asarray(fb_packed),
+                        np.asarray(fb_idx))
+
+    def aggregate(self, res: "BatchResult") -> tuple:
+        return aggregate_metrics(res.value, res.err, self.mesh, self.axis)
+
+
 def aggregate_metrics(values: jax.Array, err: jax.Array, mesh: Mesh,
                       axis: str = "data") -> tuple:
     """Cross-chip aggregate statistics via psum-class collectives:

@@ -149,6 +149,7 @@ def stream_decode_bytes(
     frame_wh: Tuple[int, int],
     *,
     decoder: Optional[MeterDecoder] = None,
+    mesh: Optional["Mesh"] = None,
     batch_size: int = 256,
     num_threads: int = 2,
     window_seconds: float = 600.0,
@@ -163,12 +164,26 @@ def stream_decode_bytes(
     (pipeline.decode.make_coef_decode_fn). Same reports and pipelining
     as stream_decode; frames the coefficient reader rejects take the
     bounded pixel-fallback slots. The rare CCL-rescue path re-decodes
-    that batch's bytes on the host pixel path."""
+    that batch's bytes on the host pixel path.
+
+    With `mesh`, each batch's coefficient windows are sharded over the
+    mesh's data axis (parallel/mesh.MeshCoefStep) and reports carry the
+    psum-reduced `device_agg` — the full bytes-to-readings production
+    shape across chips."""
     from .io import jpeg as jio
     from .pipeline.decode import make_coef_decode_fn
 
     dec = decoder or MeterDecoder(params, exact=True)
     step, _win, pad_hw = make_coef_decode_fn(dec, frame_wh)
+    mesh_step = None
+    if mesh is not None:
+        from .parallel.mesh import MeshCoefStep
+
+        assert batch_size % mesh.size == 0, (
+            f"batch_size {batch_size} not divisible by mesh size "
+            f"{mesh.size}")
+        mesh_step = MeshCoefStep(step, mesh)
+        step = mesh_step
 
     def batches():
         buf: List[Tuple[str, bytes]] = []
@@ -199,7 +214,9 @@ def stream_decode_bytes(
                         window_seconds=window_seconds,
                         leak_min_flow_lph=leak_min_flow_lph,
                         leak_bins=leak_bins, timestamps=timestamps,
-                        timers=timers)
+                        timers=timers,
+                        agg=(mesh_step.aggregate
+                             if mesh_step is not None else None))
 
 
 def _stream_core(
@@ -344,7 +361,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     `--mesh` shards every batch data-parallel over the first N devices
     (or all of them) and appends the psum-reduced per-batch metrics to
-    each report line — the multi-chip deployment shape. Multi-host runs
+    each report line — the multi-chip deployment shape. It composes
+    with `--coef` (sharded coefficient windows + device JPEG back-half:
+    the full bytes-to-readings path across chips). Multi-host runs
     additionally set METERELF_DISTRIBUTED=1 (parallel/mesh.py).
 
     When every filename embeds a capture timestamp (YYYYMMDDHHMMSS...),
@@ -388,11 +407,6 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         raise SystemExit(1)
     mesh = None
     if mesh_arg is not None:
-        if coef_wh is not None:
-            print("--mesh and --coef are mutually exclusive (the "
-                  "coefficient feed is single-chip for now)",
-                  file=sys.stderr)
-            raise SystemExit(1)
         import jax
 
         from .parallel.mesh import initialize_distributed, make_mesh
@@ -428,7 +442,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     def reports():
         if coef_wh is not None:
             return stream_decode_bytes(
-                params, frames, coef_wh, batch_size=batch,
+                params, frames, coef_wh, batch_size=batch, mesh=mesh,
                 timestamps=timestamps, timers=timers)
         return stream_decode(params, frames, batch_size=batch, mesh=mesh,
                              timestamps=timestamps, timers=timers)

@@ -265,3 +265,32 @@ def test_stream_cli_mesh_flag(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out and out[-1].startswith("frames=8 ")
     assert "mesh[ok=" in out[-1]
+
+
+def test_stream_bytes_mesh_matches_single(params1, decoder1):
+    """The mesh-sharded coefficient-feed stream (MeshCoefStep over the
+    8-device CPU mesh) must match the single-chip bytes stream report
+    for report, and carry the psum-reduced device_agg."""
+    import jax
+    from glob import glob
+    from meterelf_tpu.parallel.mesh import make_mesh
+    from meterelf_tpu.stream import stream_decode_bytes
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))[2:10]
+    byte_frames = [(f, open(f, "rb").read()) for f in files]
+    ts = list(np.arange(1000.0, 1000.0 + 10.0 * len(files), 10.0))
+    ref = list(stream_decode_bytes(
+        params1, list(byte_frames), (480, 640), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts)))
+    mesh = make_mesh(jax.devices("cpu"))
+    got = list(stream_decode_bytes(
+        params1, list(byte_frames), (480, 640), decoder=decoder1,
+        mesh=mesh, batch_size=8, timestamps=iter(ts)))
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        assert a.frames_ok == b.frames_ok
+        assert a.frames_error == b.frames_error
+        assert a.last_value == b.last_value
+        assert a.cumulative_liters == b.cumulative_liters
+    assert all(r.device_agg is not None for r in got)
+    assert sum(r.device_agg[0] for r in got) == got[-1].frames_ok
