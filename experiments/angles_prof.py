@@ -1,7 +1,12 @@
 """Angles-stage anatomy: read_dial_from_okey isolated at pipeline
 shape (B=256, D=4) over the real corpus okey3 rasters. Variants cut
 the stage at successive points; an f64-vs-f32 accumulate A/B shows the
-emulated-f64 share (informative only — exact mode ships f64)."""
+emulated-f64 share (informative only — exact mode ships f64).
+
+NOTE: the four vmap(vmap(gather))+f64 graphs compile VERY slowly over
+the axon tunnel — budget 10+ minutes wall clock for a full run. The
+stage is ~0.56 ms/256 (13% of the batch) per stage_prof6, so this
+harness is for targeted follow-up only."""
 import functools
 import sys
 import time
