@@ -57,6 +57,48 @@ class _StreamState:
     window: List[Tuple[float, float]] = field(default_factory=list)  # (t, cum)
 
 
+def save_state(state: _StreamState, path: str) -> None:
+    """Persist rolling stream state as JSON, atomically (write to a
+    sibling temp file + rename) so a crash mid-write never corrupts the
+    checkpoint. The reference has no state at all (one-shot CLI); this
+    is the failure-recovery half of the continuous deployment shape —
+    cumulative volume and the flow window survive restarts."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fp:
+        json.dump({
+            "frames_total": state.frames_total,
+            "frames_ok": state.frames_ok,
+            "frames_error": state.frames_error,
+            "last_value": state.last_value,
+            "cumulative": state.cumulative,
+            "window": state.window,
+        }, fp)
+    os.replace(tmp, path)
+
+
+def load_state(path: str) -> _StreamState:
+    """Load a save_state checkpoint (missing file -> fresh state)."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return _StreamState()
+    with open(path) as fp:
+        d = json.load(fp)
+    return _StreamState(
+        frames_total=int(d["frames_total"]),
+        frames_ok=int(d["frames_ok"]),
+        frames_error=int(d["frames_error"]),
+        last_value=(None if d["last_value"] is None
+                    else float(d["last_value"])),
+        cumulative=float(d["cumulative"]),
+        window=[(float(t), float(c)) for t, c in d["window"]],
+    )
+
+
 def _unwrap_delta(prev: float, new: float) -> float:
     """Meter wraps at 1000 liters; consumption is non-negative and small
     between frames, so interpret backward jumps > 900 as rollover (the
@@ -79,8 +121,16 @@ def stream_decode(
     leak_bins: int = 4,
     timestamps: Optional[Iterable[float]] = None,
     timers: Optional[StageTimers] = None,
+    state: Optional[_StreamState] = None,
 ) -> Iterator[StreamReport]:
     """Decode a stream of (name, meter-rect crop u8) pairs in batches.
+
+    A `(name, None)` frame is a FLUSH marker: the current partial batch
+    is padded and dispatched immediately (watch-mode sources emit one
+    when a poll round finds no new frames, so readings are not held
+    back waiting for a full batch). `state` resumes from a prior
+    load_state checkpoint; the caller owns it and may save_state it
+    after each yielded report.
 
     Yields a StreamReport per batch. Dispatch is pipelined: batch k+1 is
     enqueued before batch k's results are pulled to the host.
@@ -100,22 +150,30 @@ def stream_decode(
             f"{mesh.size}")
         dec = MeshDecoder(dec, mesh)
 
+    def emit(buf_names, buf_crops):
+        pad = batch_size - len(buf_names)
+        crops = np.stack(buf_crops)
+        if pad:
+            crops = np.concatenate(
+                [crops, np.zeros((pad,) + crops.shape[1:], crops.dtype)])
+        return buf_names, crops
+
     def batches():
         buf_names: List[str] = []
         buf_crops: List[np.ndarray] = []
         for name, crop in frames:
+            if crop is None:  # flush marker
+                if buf_names:
+                    yield emit(buf_names, buf_crops)
+                    buf_names, buf_crops = [], []
+                continue
             buf_names.append(name)
             buf_crops.append(crop)
             if len(buf_names) == batch_size:
                 yield buf_names, np.stack(buf_crops)
                 buf_names, buf_crops = [], []
         if buf_names:
-            pad = batch_size - len(buf_names)
-            crops = np.stack(buf_crops)
-            if pad:
-                crops = np.concatenate(
-                    [crops, np.zeros((pad,) + crops.shape[1:], crops.dtype)])
-            yield buf_names, crops
+            yield emit(buf_names, buf_crops)
 
     def dispatch(crops):
         return dec(crops)  # async: device starts while the host loops
@@ -140,7 +198,8 @@ def stream_decode(
                         leak_min_flow_lph=leak_min_flow_lph,
                         leak_bins=leak_bins, timestamps=timestamps,
                         timers=timers,
-                        agg=dec.aggregate if mesh is not None else None)
+                        agg=dec.aggregate if mesh is not None else None,
+                        state=state)
 
 
 def stream_decode_bytes(
@@ -157,6 +216,7 @@ def stream_decode_bytes(
     leak_bins: int = 4,
     timestamps: Optional[Iterable[float]] = None,
     timers: Optional[StageTimers] = None,
+    state: Optional[_StreamState] = None,
 ) -> Iterator[StreamReport]:
     """Streaming decode straight from JPEG bytes via the coefficient
     feed: the host entropy-decodes only (io.jpeg.load_coef_feed) and
@@ -187,15 +247,24 @@ def stream_decode_bytes(
 
     def batches():
         buf: List[Tuple[str, bytes]] = []
+
+        def emit():
+            names = [n for n, _ in buf]
+            datas = [d for _, d in buf] + [b""] * (batch_size - len(buf))
+            return names, datas
+
         for item in frames:
+            if item[1] is None:  # flush marker (see stream_decode)
+                if buf:
+                    yield emit()
+                    buf = []
+                continue
             buf.append(item)
             if len(buf) == batch_size:
                 yield [n for n, _ in buf], [d for _, d in buf]
                 buf = []
         if buf:
-            names = [n for n, _ in buf]
-            datas = [d for _, d in buf] + [b""] * (batch_size - len(buf))
-            yield names, datas
+            yield emit()
 
     def dispatch(datas):
         feed = jio.load_coef_feed(datas, params.meter_rect, frame_wh,
@@ -216,7 +285,8 @@ def stream_decode_bytes(
                         leak_bins=leak_bins, timestamps=timestamps,
                         timers=timers,
                         agg=(mesh_step.aggregate
-                             if mesh_step is not None else None))
+                             if mesh_step is not None else None),
+                        state=state)
 
 
 def _stream_core(
@@ -230,12 +300,14 @@ def _stream_core(
     timestamps: Optional[Iterable[float]],
     timers: Optional[StageTimers],
     agg=None,
+    state: Optional[_StreamState] = None,
 ) -> Iterator[StreamReport]:
     """Shared pipelined drain/report loop: batch k+1 is dispatched
     before batch k's results are pulled to the host."""
-    state = _StreamState()
+    state = state if state is not None else _StreamState()
     tm = timers if timers is not None else StageTimers()
     t_start = time.time()
+    start_total = state.frames_total  # resumed frames don't count in rate
     pending = None  # (names, batch payload, device result)
     ts_iter = iter(timestamps) if timestamps is not None else None
 
@@ -294,7 +366,7 @@ def _stream_core(
             cumulative_liters=state.cumulative,
             flow_lph=flow,
             leak_suspected=leak,
-            images_per_sec=state.frames_total / elapsed,
+            images_per_sec=(state.frames_total - start_total) / elapsed,
             device_agg=device_agg,
         )
 
@@ -334,6 +406,74 @@ def replay_files(
             yield fn, crop
 
 
+def watch_files(
+    params: Params,
+    directory: str,
+    *,
+    glob_pattern: str = "*.jpg",
+    poll_seconds: float = 2.0,
+    idle_exit: Optional[int] = None,
+    as_bytes: bool = False,
+) -> Iterator[Tuple[str, object]]:
+    """Frame source that WATCHES a directory: new files matching
+    glob_pattern are decoded (or read raw with as_bytes, for the
+    coefficient feed) and yielded in name order as they appear — the
+    real webcam deployment, where a camera drops one JPEG per capture
+    into a spool directory (the reference is instead re-run over a glob
+    per cron tick, meterelf/_main.py:10).
+
+    After any poll round that found no new files, a `(name, None)`
+    FLUSH marker is emitted so the stream dispatches its partial batch
+    instead of holding readings back. idle_exit=N ends the stream after
+    N consecutive empty polls (None = watch forever); files that fail
+    to load are skipped (they will decode as load errors only if they
+    stop changing — a file still being written simply retries next
+    poll). Files already present at startup are processed as backlog;
+    dedup across daemon RESTARTS is the spool's job (the standard
+    pattern moves or deletes files once processed) — pair with --state
+    so the rolling volume survives the restart."""
+    import os
+    from glob import glob as _glob
+
+    from .io import jpeg as jio
+
+    seen: set = set()
+    idle = 0
+    while True:
+        names = sorted(_glob(os.path.join(directory, glob_pattern)))
+        new = [n for n in names if n not in seen]
+        emitted = 0
+        for n in new:
+            if as_bytes:
+                try:
+                    with open(n, "rb") as fp:
+                        data = fp.read()
+                except OSError:
+                    continue
+                seen.add(n)
+                yield n, data
+                emitted += 1
+                continue
+            img = jio.decode_file(n)
+            if img is None:
+                # unreadable now (possibly mid-write): retry next poll
+                continue
+            seen.add(n)
+            crop = jio.crop_rect(img, params.meter_rect)
+            if crop.shape == (params.meter_rect.height,
+                              params.meter_rect.width, 3):
+                yield n, crop
+                emitted += 1
+        if emitted == 0:
+            idle += 1
+            if idle_exit is not None and idle >= idle_exit:
+                return
+            yield "<flush>", None
+            time.sleep(poll_seconds)
+        else:
+            idle = 0
+
+
 def _filename_timestamp(name: str) -> Optional[float]:
     """Capture time embedded in corpus-style filenames
     (YYYYMMDDHHMMSS[-...].jpg), as a POSIX timestamp; None if absent."""
@@ -356,8 +496,8 @@ def _filename_timestamp(name: str) -> Optional[float]:
 def main(argv: Optional[Sequence[str]] = None) -> None:
     """CLI for the continuous-replay streaming mode (BASELINE.json
     config 5): `python -m meterelf_tpu.stream PARAMS_FILE [IMAGE...]
-    [--repeat N] [--batch B] [--mesh N|all]` prints one rolling report
-    line per batch.
+    [--repeat N] [--batch B] [--mesh N|all] [--watch DIR] [--state F]`
+    prints one rolling report line per batch.
 
     `--mesh` shards every batch data-parallel over the first N devices
     (or all of them) and appends the psum-reduced per-batch metrics to
@@ -365,6 +505,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     with `--coef` (sharded coefficient windows + device JPEG back-half:
     the full bytes-to-readings path across chips). Multi-host runs
     additionally set METERELF_DISTRIBUTED=1 (parallel/mesh.py).
+
+    `--watch DIR` runs as a daemon over a camera spool directory: new
+    *.jpg files are decoded as they appear (`--poll S` seconds between
+    scans, default 2; partial batches flush after an idle poll so
+    readings are never held back; `--watch-idle-exit K` ends after K
+    consecutive empty polls — for tests/drain jobs). `--state FILE`
+    checkpoints the rolling state (cumulative volume, flow window)
+    after every report and resumes from it on restart — together they
+    make the stream a restartable meter-monitoring daemon.
 
     When every filename embeds a capture timestamp (YYYYMMDDHHMMSS...),
     flow/leak windows run on recorded time (repeats continue past the
@@ -383,7 +532,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     trace_dir: Optional[str] = None
     coef_wh: Optional[Tuple[int, int]] = None
     mesh_arg: Optional[str] = None
-    for flag in ("--repeat", "--batch", "--trace", "--coef", "--mesh"):
+    watch_dir: Optional[str] = None
+    state_path: Optional[str] = None
+    poll_s = 2.0
+    idle_exit: Optional[int] = None
+    for flag in ("--repeat", "--batch", "--trace", "--coef", "--mesh",
+                 "--watch", "--state", "--poll", "--watch-idle-exit"):
         if flag in args:
             i = args.index(flag)
             val = args[i + 1]
@@ -397,12 +551,21 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 coef_wh = (int(w), int(h))
             elif flag == "--mesh":
                 mesh_arg = val
+            elif flag == "--watch":
+                watch_dir = val
+            elif flag == "--state":
+                state_path = val
+            elif flag == "--poll":
+                poll_s = float(val)
+            elif flag == "--watch-idle-exit":
+                idle_exit = int(val)
             else:
                 trace_dir = val
-    if len(args) < 2:
+    if len(args) < (1 if watch_dir else 2):
         print("usage: python -m meterelf_tpu.stream PARAMS_FILE "
               "IMAGE_FILE... [--repeat N] [--batch B] [--trace DIR] "
-              "[--coef WxH] [--mesh N|all]",
+              "[--coef WxH] [--mesh N|all] [--watch DIR [--poll S] "
+              "[--watch-idle-exit K]] [--state FILE]",
               file=sys.stderr)
         raise SystemExit(1)
     mesh = None
@@ -417,35 +580,45 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             devs = devs[:int(mesh_arg)]
         mesh = make_mesh(devs)
     params = Params.load(args[0])
-    if coef_wh is not None:
-        # coefficient feed: host entropy-decodes only; frames are raw
-        # JPEG bytes and the device finishes the decode
-        base_b = []
-        for fn in args[1:]:
-            with open(fn, "rb") as fp:
-                base_b.append((fn, fp.read()))
-        ts0 = [_filename_timestamp(fn) for fn, _ in base_b]
-        names_iterable = base_b
-    else:
-        base = list(replay_files(params, args[1:], repeat=1))
-        ts0 = [_filename_timestamp(fn) for fn, _ in base]
-        names_iterable = base
     timestamps = None
-    if names_iterable and all(t is not None for t in ts0):
-        span = (max(ts0) - min(ts0)) + 60.0
-        timestamps = [t + r * span for r in range(repeat) for t in ts0]
-    frames = (fr for _r in range(repeat) for fr in names_iterable)
+    if watch_dir is not None:
+        # daemon mode: frames arrive from the spool directory;
+        # flow/leak windows run on wall-clock
+        frames = watch_files(params, watch_dir, poll_seconds=poll_s,
+                             idle_exit=idle_exit,
+                             as_bytes=coef_wh is not None)
+    else:
+        if coef_wh is not None:
+            # coefficient feed: host entropy-decodes only; frames are
+            # raw JPEG bytes and the device finishes the decode
+            base_b = []
+            for fn in args[1:]:
+                with open(fn, "rb") as fp:
+                    base_b.append((fn, fp.read()))
+            ts0 = [_filename_timestamp(fn) for fn, _ in base_b]
+            names_iterable = base_b
+        else:
+            base = list(replay_files(params, args[1:], repeat=1))
+            ts0 = [_filename_timestamp(fn) for fn, _ in base]
+            names_iterable = base
+        if names_iterable and all(t is not None for t in ts0):
+            span = (max(ts0) - min(ts0)) + 60.0
+            timestamps = [t + r * span
+                          for r in range(repeat) for t in ts0]
+        frames = (fr for _r in range(repeat) for fr in names_iterable)
     timers = (StageTimers()
               if os.environ.get("METERELF_PROFILE") == "1" else None)
+    st = load_state(state_path) if state_path else None
     from .profiling import device_trace
 
     def reports():
         if coef_wh is not None:
             return stream_decode_bytes(
                 params, frames, coef_wh, batch_size=batch, mesh=mesh,
-                timestamps=timestamps, timers=timers)
+                timestamps=timestamps, timers=timers, state=st)
         return stream_decode(params, frames, batch_size=batch, mesh=mesh,
-                             timestamps=timestamps, timers=timers)
+                             timestamps=timestamps, timers=timers,
+                             state=st)
 
     with device_trace(trace_dir):
         for rep in reports():
@@ -464,6 +637,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 f"cum={rep.cumulative_liters:.3f}L flow={flow}L/h "
                 f"leak={'YES' if rep.leak_suspected else 'no'} "
                 f"rate={rep.images_per_sec:.0f}img/s{agg_sfx}", flush=True)
+            if state_path and st is not None:
+                save_state(st, state_path)
     if timers is not None:
         print(timers.report(), file=sys.stderr)
 

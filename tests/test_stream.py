@@ -294,3 +294,76 @@ def test_stream_bytes_mesh_matches_single(params1, decoder1):
         assert a.cumulative_liters == b.cumulative_liters
     assert all(r.device_agg is not None for r in got)
     assert sum(r.device_agg[0] for r in got) == got[-1].frames_ok
+
+
+def test_stream_state_checkpoint_resume(params1, decoder1, tmp_path):
+    """save_state/load_state round-trip: a stream resumed from a
+    checkpoint continues the cumulative volume and frame totals exactly
+    as if it had run unbroken."""
+    from glob import glob
+    from meterelf_tpu.stream import (
+        _StreamState, load_state, replay_files, save_state)
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))[2:10]
+    ts = list(np.arange(1000.0, 1000.0 + 10.0 * 2 * len(files), 10.0))
+
+    # unbroken 2-pass reference run
+    st_ref = _StreamState()
+    ref = list(stream_decode(
+        params1, replay_files(params1, files, repeat=2), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts), state=st_ref))
+
+    # pass 1 -> checkpoint -> restart -> pass 2
+    path = str(tmp_path / "meter_state.json")
+    st1 = load_state(path)           # missing file -> fresh state
+    assert st1.frames_total == 0
+    list(stream_decode(
+        params1, replay_files(params1, files), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts[:len(files)]), state=st1))
+    save_state(st1, path)
+    st2 = load_state(path)
+    assert st2 == st1
+    r2 = list(stream_decode(
+        params1, replay_files(params1, files), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts[len(files):]), state=st2))
+
+    assert r2[-1].frames_total == ref[-1].frames_total
+    assert r2[-1].frames_ok == ref[-1].frames_ok
+    assert r2[-1].cumulative_liters == ref[-1].cumulative_liters
+    assert r2[-1].last_value == ref[-1].last_value
+    assert r2[-1].flow_lph == ref[-1].flow_lph
+
+
+def test_stream_watch_mode_cli(tmp_path, capsys):
+    """--watch daemon mode: backlog files are processed, the partial
+    batch flushes on an idle poll, --state checkpoints, and a restart
+    resumes the totals."""
+    import shutil
+    from glob import glob
+    from meterelf_tpu import stream as stream_mod
+
+    files = sorted(glob("/root/reference/sample-images1/2018*.jpg"))[2:4]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    for f in files:
+        shutil.copy(f, spool)
+    state = str(tmp_path / "state.json")
+    argv = ["/root/reference/sample-images1/params.yml",
+            "--watch", str(spool), "--batch", "8",
+            "--poll", "0.05", "--watch-idle-exit", "2",
+            "--state", state]
+    stream_mod.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and out[-1].startswith("frames=2 ")
+    st = stream_mod.load_state(state)
+    assert st.frames_total == 2
+
+    # daemon restart over the same spool: the backlog is reprocessed
+    # (dedup across restarts is the spool's job), totals resume from
+    # the checkpoint
+    stream_mod.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and out[-1].startswith("frames=4 ")
+    assert stream_mod.load_state(state).frames_total == 4
