@@ -275,3 +275,40 @@ def fit_ellipse(points: np.ndarray) -> Tuple[Tuple[float, float], Tuple[float, f
     semi = 1.0 / np.sqrt(lam)
     width, height = 2.0 * semi[0], 2.0 * semi[1]
     return ((cx + xm, cy + ym), (width, height))
+
+
+def main(argv: "Union[None, List[str]]" = None) -> None:
+    """Calibration CLI for bringing up a NEW camera:
+    `python -m meterelf_tpu.calibration PARAMS_FILE [N_SAMPLES|FILE...]`
+    averages sample frames (default: 255 random frames from the params'
+    image_glob, or the given count/files), finds the dial centers, and
+    prints them as YAML-pasteable `center`/`diameter` needle fields
+    (sorted by x, the params file's dial order). The reference exposes
+    this only as a library helper its tests call
+    (/root/reference/meterelf/_calibration.py:16)."""
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    if not args:
+        print("usage: python -m meterelf_tpu.calibration PARAMS_FILE "
+              "[N_SAMPLES | IMAGE_FILE...]", file=sys.stderr)
+        raise SystemExit(1)
+    params = Params.load(args[0])
+    files: Union[int, List[str]]
+    if len(args) == 1:
+        files = min(255, len(get_image_filenames(params)))
+    elif len(args) == 2 and args[1].isdigit():
+        files = int(args[1])
+    else:
+        files = args[1:]
+    centers = find_dial_centers(params, files)
+    print(f"# {len(centers)} dial centers (sorted by x); paste per-dial"
+          " into the params' needle entries")
+    for i, dc in enumerate(centers):
+        print(f"# dial {i + 1}")
+        print(f"center: [{dc.center[0]:.1f}, {dc.center[1]:.1f}]")
+        print(f"diameter: {dc.diameter:g}")
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via CLI test
+    main()

@@ -81,3 +81,34 @@ def test_find_dial_centers_full():
         assert got.diameter == ed
         assert abs(got.center[0] - ex) < 0.05
         assert abs(got.center[1] - ey) < 0.05
+
+
+def test_calibration_cli(capsys):
+    """`python -m meterelf_tpu.calibration` prints YAML-pasteable
+    center/diameter fields for each dial (new-camera bring-up)."""
+    from glob import glob
+
+    from meterelf_tpu import calibration
+
+    files = sorted(glob("/root/reference/sample-images1/2018*.jpg"))[2:34]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    calibration.main(
+        ["/root/reference/sample-images1/params.yml", *files])
+    out = capsys.readouterr().out
+    assert out.count("center: [") == 4
+    assert out.count("diameter: ") == 4
+    # x-sorted, near the shipped params values (loose: 32-frame average)
+    import re
+    xs = [float(m.group(1))
+          for m in re.finditer(r"center: \[([0-9.]+),", out)]
+    assert xs == sorted(xs)
+    assert abs(xs[0] - 37.3) < 2.0 and abs(xs[3] - 160.9) < 2.0
+
+
+def test_calibration_cli_usage_error(capsys):
+    from meterelf_tpu import calibration
+
+    with pytest.raises(SystemExit):
+        calibration.main([])
+    assert "usage" in capsys.readouterr().err
