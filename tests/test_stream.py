@@ -367,3 +367,29 @@ def test_stream_watch_mode_cli(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out and out[-1].startswith("frames=4 ")
     assert stream_mod.load_state(state).frames_total == 4
+
+
+def test_stream_bytes_matches_crops_camera2(params2):
+    """The coefficient-feed stream must equal the pixel stream on the
+    SECOND shipped camera too (different meter rect -> different
+    coefficient window geometry through io/native + ops/jpegdec)."""
+    from glob import glob
+    from meterelf_tpu.pipeline.decode import MeterDecoder
+    from meterelf_tpu.stream import replay_files, stream_decode_bytes
+
+    files = sorted(glob("/root/reference/sample-images2/*.jpg"))[:8]
+    dec = MeterDecoder(params2, exact=True)
+    ts = list(np.arange(1000.0, 1000.0 + 10.0 * len(files), 10.0))
+    ref = list(stream_decode(
+        params2, replay_files(params2, files), decoder=dec,
+        batch_size=8, timestamps=iter(ts)))
+    byte_frames = [(f, open(f, "rb").read()) for f in files]
+    got = list(stream_decode_bytes(
+        params2, byte_frames, (480, 640), decoder=dec,
+        batch_size=8, timestamps=iter(ts)))
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        assert a.frames_ok == b.frames_ok
+        assert a.frames_error == b.frames_error
+        assert a.last_value == b.last_value
+        assert a.cumulative_liters == b.cumulative_liters
