@@ -1,4 +1,9 @@
-"""Frontend kernel cost split + strided-rotate diagonal reduction.
+"""SUPERSEDED by frontend_prof4.py: this harness predates the round-3
+geometry generalization (it reads R_PAD/K_PAD constants that became
+FrontendGeom fields) and no longer runs. Kept for the historical
+record of the strided-rotate decision it measured.
+
+Frontend kernel cost split + strided-rotate diagonal reduction.
 
 Variants:
   base    : current _frontend_kernel
@@ -11,6 +16,10 @@ Correctness of `strided` is checked against `base` on real corpus crops.
 """
 import sys
 import time
+
+raise SystemExit(
+    "frontend_prof3.py is superseded by frontend_prof4.py (the kernel "
+    "became geometry-parametric in round 3); run that instead")
 
 import jax
 import jax.numpy as jnp
