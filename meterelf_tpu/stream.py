@@ -414,6 +414,7 @@ def watch_files(
     poll_seconds: float = 2.0,
     idle_exit: Optional[int] = None,
     as_bytes: bool = False,
+    max_retries: int = 3,
 ) -> Iterator[Tuple[str, object]]:
     """Frame source that WATCHES a directory: new files matching
     glob_pattern are decoded (or read raw with as_bytes, for the
@@ -431,39 +432,62 @@ def watch_files(
     poll). Files already present at startup are processed as backlog;
     dedup across daemon RESTARTS is the spool's job (the standard
     pattern moves or deletes files once processed) — pair with --state
-    so the rolling volume survives the restart."""
+    so the rolling volume survives the restart.
+
+    A file that still fails after max_retries polls is a PERMANENTLY
+    bad frame, not a mid-write race: it is emitted once as an error
+    frame (empty bytes / zeroed crop, which decodes to an error code
+    and counts in frames_error) so the spool never livelocks on it."""
     import os
     from glob import glob as _glob
 
     from .io import jpeg as jio
 
     seen: set = set()
+    attempts: dict = {}
+    rect = params.meter_rect
     idle = 0
     while True:
         names = sorted(_glob(os.path.join(directory, glob_pattern)))
         new = [n for n in names if n not in seen]
         emitted = 0
+
+        def give_up(n):
+            # surfaced as a load-error frame instead of retrying forever
+            seen.add(n)
+            if as_bytes:
+                return n, b""
+            return n, np.zeros((rect.height, rect.width, 3), np.uint8)
+
         for n in new:
             if as_bytes:
                 try:
                     with open(n, "rb") as fp:
                         data = fp.read()
                 except OSError:
+                    attempts[n] = attempts.get(n, 0) + 1
+                    if attempts[n] >= max_retries:
+                        yield give_up(n)
+                        emitted += 1
                     continue
                 seen.add(n)
                 yield n, data
                 emitted += 1
                 continue
             img = jio.decode_file(n)
-            if img is None:
-                # unreadable now (possibly mid-write): retry next poll
+            crop = (jio.crop_rect(img, rect) if img is not None else None)
+            if (crop is None
+                    or crop.shape != (rect.height, rect.width, 3)):
+                # unreadable now (possibly mid-write): retry next poll,
+                # give up after max_retries
+                attempts[n] = attempts.get(n, 0) + 1
+                if attempts[n] >= max_retries:
+                    yield give_up(n)
+                    emitted += 1
                 continue
             seen.add(n)
-            crop = jio.crop_rect(img, params.meter_rect)
-            if crop.shape == (params.meter_rect.height,
-                              params.meter_rect.width, 3):
-                yield n, crop
-                emitted += 1
+            yield n, crop
+            emitted += 1
         if emitted == 0:
             idle += 1
             if idle_exit is not None and idle >= idle_exit:

@@ -393,3 +393,26 @@ def test_stream_bytes_matches_crops_camera2(params2):
         assert a.frames_error == b.frames_error
         assert a.last_value == b.last_value
         assert a.cumulative_liters == b.cumulative_liters
+
+
+def test_stream_watch_gives_up_on_corrupt_file(tmp_path, capsys):
+    """A permanently corrupt spool file is retried max_retries polls,
+    then surfaced once as an error frame — the daemon never livelocks
+    re-decoding it."""
+    import shutil
+    from glob import glob
+    from meterelf_tpu import stream as stream_mod
+
+    files = sorted(glob("/root/reference/sample-images1/2018*.jpg"))[2:3]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    shutil.copy(files[0], spool)
+    (spool / "zz-corrupt.jpg").write_bytes(b"\xff\xd8 not a jpeg")
+    stream_mod.main(
+        ["/root/reference/sample-images1/params.yml",
+         "--watch", str(spool), "--batch", "8",
+         "--poll", "0.05", "--watch-idle-exit", "3"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and out[-1].startswith("frames=2 ok=1 err=1 ")
