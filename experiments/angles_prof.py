@@ -31,7 +31,7 @@ from meterelf_tpu.ops.pallas_ccl import propagate_quads
 B, REPS, W, D = 256, 32, DIAL_WIN, 4
 S1 = "/root/reference/sample-images1"
 params = Params.load(f"{S1}/params.yml")
-pa = params.arrays()
+pa = jax.device_put(params.arrays())  # jnp fields: vmap-traced dial indexing
 files = sorted(glob(f"{S1}/*.jpg"))
 crops_np, _ = jio.load_crops(files, params.meter_rect)
 reps_t = -(-B // crops_np.shape[0])
