@@ -98,12 +98,15 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
+        # selfcheck BEFORE publishing the handle: if it raises, the next
+        # _get_lib() re-runs (and re-raises) instead of silently handing
+        # out an off-parity decoder
+        _decoder_selfcheck(lib)
         _lib = lib
-        _decoder_selfcheck()
     return _lib
 
 
-def _decoder_selfcheck() -> None:
+def _decoder_selfcheck(lib) -> None:
     """Assert the system libjpeg still decodes byte-identically to the
     pinned parity target (SURVEY.md §8bis: golden parity rides on the
     ISLOW + fancy-upsampling byte behavior). Runs once at library load
@@ -116,11 +119,11 @@ def _decoder_selfcheck() -> None:
         return
     from ._selfcheck_data import CHECK_BGR_SHA256, CHECK_JPEG
 
-    bgr = _decode_bytes_full(CHECK_JPEG)
+    bgr = _decode_bytes_full(CHECK_JPEG, lib=lib)
     got = (hashlib.sha256(bgr.tobytes()).hexdigest()
            if bgr is not None else "<decode failed>")
     if got != CHECK_BGR_SHA256:
-        ver = _lib.mej_jpeg_lib_version()
+        ver = lib.mej_jpeg_lib_version()
         raise RuntimeError(
             "system libjpeg decode diverges from the pinned parity "
             f"target (fixture sha256 {got} != {CHECK_BGR_SHA256}; "
@@ -452,9 +455,9 @@ def load_coef_feed(
     return cy, cb, cr, qt, load_ok, fb_packed, fb_idx
 
 
-def _decode_bytes_full(data: bytes) -> Optional[np.ndarray]:
+def _decode_bytes_full(data: bytes, lib=None) -> Optional[np.ndarray]:
     """Full-frame decode of in-memory JPEG bytes (fallback path)."""
-    lib = _get_lib()
+    lib = lib if lib is not None else _get_lib()
     out = np.zeros(MAX_H * MAX_W * 3, np.uint8)
     ok = np.zeros(1, np.int32)
     widths = np.zeros(1, np.int32)

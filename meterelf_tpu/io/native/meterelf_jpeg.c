@@ -833,8 +833,18 @@ static int mej_read_coefs_region_inner(const unsigned char *data,
                 jpeg_destroy_decompress(&cinfo);
                 return 9;
             }
-            for (int k = 0; k < 64; k++)
+            for (int k = 0; k < 64; k++) {
+                /* Reject 16-bit quant tables (DQT Pq=1), mirroring the
+                 * fast reader's gate at the DQT parse: the device
+                 * back-half's fused kernel assumes |coef*qt| < 2^23
+                 * (8-bit tables), so such frames must take the pixel
+                 * fallback — libjpeg itself decodes them fine there. */
+                if (q->quantval[k] > 255) {
+                    jpeg_destroy_decompress(&cinfo);
+                    return 15;
+                }
                 qt[ci * 64 + k] = (uint16_t)q->quantval[k];
+            }
         }
 
         if (plane) {

@@ -258,8 +258,12 @@ def fused_backhalf_planes(fy: jnp.ndarray, fcb: jnp.ndarray,
     B, lh, lw = fy.shape
     ch, cw = fcb.shape[1:]
     ph, pw = pad_hw
-    assert (win.oy % 8 == 0 and win.oy + ph <= lh and pw <= lw
-            and lw % 128 == 0)   # keeps every in-kernel concat aligned
+    if not (win.oy % 8 == 0 and win.oy + ph <= lh and pw <= lw
+            and lw % 128 == 0):  # keeps every in-kernel concat aligned
+        raise ValueError(
+            f"fused back-half geometry unsupported (oy={win.oy}, "
+            f"pad_hw={pad_hw}, plane {lh}x{lw}); gate callers on "
+            "jpegdec.fused_tail_ok")
     # quant tables lane-tiled to 128 once in XLA (12 KB/image)
     qt8 = qt.astype(jnp.int32).reshape(B, 3, 8, 8)
     qt_t = jnp.tile(qt8, (1, 1, 1, 16)).reshape(B, 24, 128)
@@ -314,7 +318,10 @@ def upsample_color_pack(y_u8: jnp.ndarray, cb_u8: jnp.ndarray,
     gate on geometry and fall back to the XLA tail otherwise."""
     B, lh, lw = y_u8.shape
     ph, pw = pad_hw
-    assert win.oy % 8 == 0 and win.oy + ph <= lh
+    if not (win.oy % 8 == 0 and win.oy + ph <= lh):
+        raise ValueError(
+            f"pallas tail geometry unsupported (oy={win.oy}, "
+            f"pad_hw={pad_hw}, luma {lh}x{lw})")
     grp = GT
     pad = (-B) % grp
     if pad:

@@ -145,9 +145,10 @@ def stream_decode(
     if mesh is not None:
         from .parallel.mesh import MeshDecoder
 
-        assert batch_size % mesh.size == 0, (
-            f"batch_size {batch_size} not divisible by mesh size "
-            f"{mesh.size}")
+        if batch_size % mesh.size != 0:   # survives python -O
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size "
+                f"{mesh.size}")
         dec = MeshDecoder(dec, mesh)
 
     def emit(buf_names, buf_crops):
@@ -239,9 +240,10 @@ def stream_decode_bytes(
     if mesh is not None:
         from .parallel.mesh import MeshCoefStep
 
-        assert batch_size % mesh.size == 0, (
-            f"batch_size {batch_size} not divisible by mesh size "
-            f"{mesh.size}")
+        if batch_size % mesh.size != 0:   # survives python -O
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size "
+                f"{mesh.size}")
         mesh_step = MeshCoefStep(step, mesh)
         step = mesh_step
 
@@ -465,6 +467,14 @@ def watch_files(
                     with open(n, "rb") as fp:
                         data = fp.read()
                 except OSError:
+                    data = None
+                # mid-write protection (the pixel path gets it for free
+                # from the failed decode): a JPEG still being written
+                # reads fine but is truncated — require the trailing EOI
+                # marker (FF D9, possibly followed by a little camera
+                # padding) before marking the file seen, else retry
+                # next poll like the pixel path
+                if data is None or b"\xff\xd9" not in data[-32:]:
                     attempts[n] = attempts.get(n, 0) + 1
                     if attempts[n] >= max_retries:
                         yield give_up(n)

@@ -134,10 +134,30 @@ def test_decoder_selfcheck_runs_and_pins_parity(monkeypatch):
     would have raised); a digest drift must raise with diagnostics."""
     from meterelf_tpu.io import _selfcheck_data as sd
 
-    jio._decoder_selfcheck()  # idempotent pass on the live libjpeg
+    lib = jio._get_lib()
+    jio._decoder_selfcheck(lib)  # idempotent pass on the live libjpeg
     monkeypatch.setattr(sd, "CHECK_BGR_SHA256", "0" * 64)
     monkeypatch.delenv("METERELF_SKIP_DECODER_CHECK", raising=False)
     with pytest.raises(RuntimeError, match="pinned parity target"):
-        jio._decoder_selfcheck()
+        jio._decoder_selfcheck(lib)
     monkeypatch.setenv("METERELF_SKIP_DECODER_CHECK", "1")
-    jio._decoder_selfcheck()  # explicit opt-out proceeds
+    jio._decoder_selfcheck(lib)  # explicit opt-out proceeds
+
+
+def test_selfcheck_failure_is_not_cached(monkeypatch):
+    """If the parity self-check fails at library load, EVERY subsequent
+    _get_lib() must re-raise instead of handing out the off-parity
+    decoder (the handle is published only after the check passes)."""
+    calls = []
+
+    def boom(lib):
+        calls.append(1)
+        raise RuntimeError("decode parity failure (test)")
+
+    monkeypatch.setattr(jio, "_decoder_selfcheck", boom)
+    monkeypatch.setattr(jio, "_lib", None)
+    with pytest.raises(RuntimeError, match="parity failure"):
+        jio._get_lib()
+    with pytest.raises(RuntimeError, match="parity failure"):
+        jio._get_lib()
+    assert len(calls) == 2 and jio._lib is None

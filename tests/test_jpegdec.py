@@ -176,6 +176,65 @@ def test_unsupported_layouts_fall_back():
     assert ok[0]
 
 
+def _widen_dqt(data: bytes, scale: int = 1) -> bytes:
+    """Rewrite every DQT table to 16-bit precision (Pq=1), values
+    multiplied by ``scale`` — a legal baseline JPEG that libjpeg decodes
+    fine but whose quant values can exceed the 8-bit range the fused
+    device back-half assumes."""
+    out = bytearray(data[0:2])
+    i = 2
+    while i < len(data):
+        m = data[i + 1]
+        if m == 0xDA:                      # SOS: copy the rest verbatim
+            out += data[i:]
+            break
+        ln = (data[i + 2] << 8) | data[i + 3]
+        seg = data[i + 4:i + 2 + ln]
+        if m == 0xDB:
+            new = bytearray()
+            j = 0
+            while j < len(seg):
+                new.append((1 << 4) | (seg[j] & 15))
+                for v in seg[j + 1:j + 65]:
+                    w = min(v * scale, 65535)
+                    new += bytes([w >> 8, w & 255])
+                j += 65
+            nl = len(new) + 2
+            out += bytes([0xFF, 0xDB, nl >> 8, nl & 255]) + new
+        else:
+            out += data[i:i + 2 + ln]
+        i += 2 + ln
+    return bytes(out)
+
+
+def test_16bit_quant_tables_take_pixel_fallback():
+    """A baseline 4:2:0 JPEG with 16-bit DQT values > 255 would silently
+    wrap in the fused back-half's int8 limb decomposition (|coef*qt| <
+    2^23 assumption), so BOTH coefficient readers must reject it — the
+    fast reader at the DQT parse, the libjpeg fallback at the quantval
+    copy — and load_coef_feed must route it through the pixel-fallback
+    slots, which decode it exactly like libjpeg."""
+    fn = os.path.join(SAMPLE1, "20180814215230-01-e136.jpg")
+    data = open(fn, "rb").read()
+    wide = _widen_dqt(data, scale=9)       # values up to ~2.3k > 255
+    win = jpegdec.coef_window(RECT1, *FRAME_WH)
+    *_, ok = jio.read_coefs_batch([data, wide], win, FRAME_WH)
+    assert ok[0] and not ok[1]
+    pad_hw = jio.frontend_pad_hw()
+    *_, load_ok, fb_packed, fb_idx = jio.load_coef_feed(
+        [data, wide], RECT1, FRAME_WH, pad_hw)
+    assert load_ok.all() and fb_idx[0] == 1
+    full = jio._decode_bytes_full(wide)
+    ref = jio.pack_crops(jio.crop_rect(full, RECT1)[None], pad_hw)[0]
+    np.testing.assert_array_equal(np.asarray(fb_packed[0]), ref)
+    # 16-bit precision with SAFE (<= 255) values is accepted by the
+    # fallback reader and remains within the fused kernel's range
+    safe = _widen_dqt(data, scale=1)
+    cy, cb, cr, qt, ok = jio.read_coefs_batch([data, safe], win, FRAME_WH)
+    assert ok.all() and qt.max() <= 255
+    np.testing.assert_array_equal(cy[0], cy[1])
+
+
 def test_plane_layout_matches_block_layout():
     """The C reader's frequency-plane output mode (plane_layout=True)
     must be exactly the block layout rearranged — over corpus frames

@@ -395,6 +395,40 @@ def test_stream_bytes_matches_crops_camera2(params2):
         assert a.cumulative_liters == b.cumulative_liters
 
 
+def test_stream_watch_bytes_mid_write(tmp_path, params1):
+    """Bytes mode (--watch --coef) must not swallow a JPEG still being
+    written: a payload without the trailing EOI marker retries next poll
+    (like the pixel path's failed decode) and the COMPLETED file is
+    emitted with its full bytes; a permanently truncated file is
+    surfaced once as an error frame after max_retries."""
+    from glob import glob
+    from meterelf_tpu.stream import watch_files
+
+    files = sorted(glob("/root/reference/sample-images1/2018*.jpg"))[2:3]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    data = open(files[0], "rb").read()
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    part = spool / "a.jpg"
+    part.write_bytes(data[:len(data) // 2])     # mid-write: no EOI yet
+    gen = watch_files(params1, str(spool), poll_seconds=0.01,
+                      as_bytes=True, max_retries=3, idle_exit=20)
+    name, payload = next(gen)
+    assert payload is None                      # flush, not truncated bytes
+    part.write_bytes(data)                      # the writer finishes
+    name, payload = next(gen)
+    assert name.endswith("a.jpg") and payload == data
+    bad = spool / "b.jpg"
+    bad.write_bytes(data[:100])                 # never completed
+    for name, payload in gen:
+        if payload is not None:
+            break
+    else:
+        pytest.fail("truncated file never surfaced")
+    assert name.endswith("b.jpg") and payload == b""
+
+
 def test_stream_watch_gives_up_on_corrupt_file(tmp_path, capsys):
     """A permanently corrupt spool file is retried max_retries polls,
     then surfaced once as an error frame — the daemon never livelocks
