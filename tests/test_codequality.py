@@ -29,8 +29,11 @@ def test_lint_clean():
 
 def test_mypy_if_available():
     if importlib.util.find_spec("mypy") is None:
-        pytest.skip("mypy not installed in this image; gate active in "
-                    "dev environments (config: pyproject.toml)")
+        pytest.skip("mypy not installed in this image (no network to add "
+                    "it); the gate runs in the Dockerfile dev stage "
+                    "(`docker build --target dev`) against the stack "
+                    "pinned in requirements.lock "
+                    "(config: pyproject.toml [tool.mypy])")
     r = subprocess.run(
         [sys.executable, "-m", "mypy", "meterelf_tpu"],
         capture_output=True, text=True, cwd="/root/repo", timeout=300)
