@@ -436,6 +436,30 @@ def load_coef_feed(
     # frequency-plane layout exactly when the fused back-half kernel
     # will consume it (the decode step dispatches on the array shape)
     plane = jpegdec.fused_tail_ok(win, tuple(pad_hw))
+    return load_coef_feed_shard(
+        datas, tuple(win), plane, meter_rect, frame_wh, pad_hw,
+        fb_slots=fb_slots, num_threads=num_threads)
+
+
+def load_coef_feed_shard(
+    datas: Sequence[bytes],
+    win_tuple: Tuple[int, ...],
+    plane: bool,
+    meter_rect: Rect,
+    frame_wh: Tuple[int, int],
+    pad_hw: Tuple[int, int],
+    fb_slots: int = 8,
+    num_threads: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray, np.ndarray, np.ndarray]:
+    """load_coef_feed with the window geometry and layout choice
+    precomputed by the caller — a jax-free entry point (no ops import,
+    no backend probe) for entropy-feed worker subprocesses
+    (stream.py --feed-workers / _FeedWorkerPool). win_tuple is the
+    CoefWindow as a plain tuple (picklable across spawn)."""
+    from ..ops.jpegdec import CoefWindow as _CW  # NamedTuple only: no jax
+
+    win = _CW(*win_tuple)
     cy, cb, cr, qt, ok = read_coefs_batch(
         datas, win, frame_wh, num_threads=num_threads,
         plane_layout=plane)

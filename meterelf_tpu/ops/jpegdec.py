@@ -388,13 +388,16 @@ def backhalf_planes_to_packed(
 
 def fused_tail_ok(win: CoefWindow,
                   pad_hw: "tuple[int, int] | None") -> bool:
-    """Geometry + platform gate for the fully fused back-half kernel:
-    the aligned-slice constraints of the tail (oy % 8 == 0, crop inside
-    the window) plus lane-aligned plane width (lw % 128 == 0, keeps the
-    kernel's chroma concats vreg-aligned)."""
+    """Geometry + platform gate for the fully fused back-half kernel.
+    Round-4 generalization: the oy-alignment / lane-width / pad-inside-
+    window constraints are handled in-kernel (sublane roll + zero fill,
+    XLA lane pad to a 256-multiple — ops/pallas_jpeg.py), so the gate is
+    now only a size sanity bound (VMEM fit of the per-image planes) plus
+    the platform check. Both shipped cameras pass (camera 2's oy=14 /
+    lw=240 window previously fell off onto the XLA tail)."""
     if _TAIL == "xla" or pad_hw is None:
         return False
-    if not (_pallas_geom_ok(win, pad_hw) and (8 * win.lbw) % 128 == 0):
+    if not _pallas_geom_ok(win, pad_hw):
         return False
     if _TAIL == "pallas":
         return True
@@ -405,16 +408,21 @@ def fused_tail_ok(win: CoefWindow,
 
 
 def _pallas_geom_ok(win: CoefWindow, pad_hw) -> bool:
-    return (win.oy % 8 == 0
-            and win.oy + pad_hw[0] <= 8 * win.lbh
-            and pad_hw[1] <= 8 * win.lbw)
+    """Size sanity for the Pallas tail kernels: bounded padded lane
+    width and plane height (VMEM fit), crop inside the decoded window
+    (guaranteed by coef_window; cheap insurance for the roll path)."""
+    from .pallas_jpeg import _lane_target
+    lh, lw = 8 * win.lbh, 8 * win.lbw
+    return (_lane_target(lw, pad_hw[1]) <= 512
+            and lh <= 512
+            and win.oy + win.rh <= lh
+            and win.ox + win.rw <= lw)
 
 
 def _pallas_tail_ok(win: CoefWindow, pad_hw) -> bool:
-    """The fused tail kernel supports the padded-staging geometry with
-    an 8-aligned crop row origin inside the window (the aligned-slice
-    trick in ops/pallas_jpeg.py). 'auto' enables it on TPU only
-    (compiled Pallas is TPU-only)."""
+    """Platform + size gate for the half-fused tail
+    (ops/pallas_jpeg.upsample_color_pack). 'auto' enables it on TPU
+    only (compiled Pallas is TPU-only)."""
     if _TAIL == "xla" or pad_hw is None:
         return False
     if not _pallas_geom_ok(win, pad_hw):

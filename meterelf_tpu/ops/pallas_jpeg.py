@@ -89,13 +89,27 @@ def _color_pack_aligned(y, ucb, ucr, keep, *, oy: int, ox: int,
                         ph: int, pw: int):
     """Shared tail epilogue on in-VMEM i32 planes: crop-align (rotate
     the x offset away — lane-offset slices don't lower — then an
-    8-aligned sublane slice), fixed-point YCbCr->BGR, pack, pad-zero."""
+    8-aligned sublane slice when the geometry allows, else a sublane
+    roll whose wrapped-in rows land past the crop and are zeroed by
+    ``keep``), fixed-point YCbCr->BGR, pack, pad-zero.
+
+    The roll path (round-4 generalization) lifts the oy % 8 == 0 and
+    oy + ph <= lh gates: content row oy rotates to row 0, and any
+    staging rows past the window (ph > lh) are zero-filled by concat.
+    Wrapped garbage rows sit at sublanes >= lh - oy >= rh (the crop is
+    inside the window), which ``keep`` masks to the staging zero."""
     i32 = jnp.int32
-    lw = y.shape[1]
+    lh, lw = y.shape
 
     def align(p):
         p = pltpu.roll(p, lw - ox, 1) if ox else p
-        return p[oy:oy + ph, :pw]
+        if oy % 8 == 0 and oy + ph <= lh:
+            return p[oy:oy + ph, :pw]
+        p = pltpu.roll(p, lh - oy, 0) if oy else p
+        if ph > lh:
+            p = jnp.concatenate(
+                [p, jnp.zeros((ph - lh, lw), p.dtype)], axis=0)
+        return p[0:ph, :pw]
 
     ya = align(y)
     cba = align(ucb) - 128
@@ -245,6 +259,21 @@ def _fused_kernel(fy_ref, fcb_ref, fcr_ref, qt_ref,
             y, ucb, ucr, keep, oy=oy, ox=ox, ph=ph, pw=pw)
 
 
+def _lane_target(lw: int, pw: int) -> int:
+    """Padded luma lane width for the tail kernels: a 256-multiple (so
+    the chroma half-width is itself 128-aligned — the cb|cr lane concat
+    and the shared pass-2 IDCT matmul need vreg-aligned halves) covering
+    both the decoded window and the staging output."""
+    return -(-max(lw, pw) // 256) * 256
+
+
+def _pad_lanes(x: jnp.ndarray, target: int) -> jnp.ndarray:
+    """Zero-pad the lane (last) axis of [B, S, L] to ``target``."""
+    if x.shape[2] == target:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, target - x.shape[2])))
+
+
 def fused_backhalf_planes(fy: jnp.ndarray, fcb: jnp.ndarray,
                           fcr: jnp.ndarray, qt: jnp.ndarray,
                           win: CoefWindow, pad_hw: tuple,
@@ -253,23 +282,31 @@ def fused_backhalf_planes(fy: jnp.ndarray, fcb: jnp.ndarray,
     plane_layout=True: fy [B, lbh*8, lbw*8] i16, fcb/fcr
     [B, lbh*4, lbw*4] i16, qt [B, 3, 64]) -> [B, PH, PW] packed-BGR i32
     staging crops, bit-identical to jpegdec.backhalf_to_packed.
-    Geometry contract: win.oy % 8 == 0, oy + PH <= lbh*8, PW <= lbw*8
-    (same aligned-slice trick as upsample_color_pack)."""
+
+    Geometry (round-4 generalization): any chroma-block window works —
+    planes are zero-lane-padded in XLA to a 256-multiple (padded blocks
+    IDCT to flat gray and are cropped away), and non-8-aligned crop rows
+    / staging pads taller than the window ride the roll+zero-fill path
+    in _color_pack_aligned. The former oy/lw alignment gates (which
+    excluded the second shipped camera, oy=14 lw=240) are gone; callers
+    still gate on jpegdec.fused_tail_ok for platform + size."""
     B, lh, lw = fy.shape
-    ch, cw = fcb.shape[1:]
     ph, pw = pad_hw
-    if not (win.oy % 8 == 0 and win.oy + ph <= lh and pw <= lw
-            and lw % 128 == 0):  # keeps every in-kernel concat aligned
+    L = _lane_target(lw, pw)
+    fy = _pad_lanes(fy, L)
+    fcb = _pad_lanes(fcb, L // 2)
+    fcr = _pad_lanes(fcr, L // 2)
+    ch, cw = fcb.shape[1:]
+    if not (win.oy + win.rh <= lh and win.ox + win.rw <= lw):
         raise ValueError(
-            f"fused back-half geometry unsupported (oy={win.oy}, "
-            f"pad_hw={pad_hw}, plane {lh}x{lw}); gate callers on "
-            "jpegdec.fused_tail_ok")
+            f"crop exceeds the decoded window (win={win}); the "
+            "coefficient feed and pad_hw are inconsistent")
     # quant tables lane-tiled to 128 once in XLA (12 KB/image)
     qt8 = qt.astype(jnp.int32).reshape(B, 3, 8, 8)
     qt_t = jnp.tile(qt8, (1, 1, 1, 16)).reshape(B, 24, 128)
     a1y = _band_limbs(lh // 8)
     a1c = _band_limbs(ch // 8)
-    bl, bh_ = _band_limbs(lw // 8)
+    bl, bh_ = _band_limbs(L // 8)           # pass 2 acts on padded lanes
     bmat = (bl.T.copy(), bh_.T.copy())      # I (x) M^T, limb-wise
     grp = GT
     pad = (-B) % grp
@@ -289,7 +326,7 @@ def fused_backhalf_planes(fy: jnp.ndarray, fcb: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct((Bp, ph, pw), jnp.int32),
             grid=(Bp // grp,),
             in_specs=[
-                pl.BlockSpec((grp, lh, lw), lambda i: (i, 0, 0),
+                pl.BlockSpec((grp, lh, L), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((grp, ch, cw), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -313,15 +350,21 @@ def upsample_color_pack(y_u8: jnp.ndarray, cb_u8: jnp.ndarray,
                         pad_hw: tuple, interpret: bool = False
                         ) -> jnp.ndarray:
     """y [B, LH, LW] u8, cb/cr [B, CH, CW] u8 (spatial planes from the
-    IDCT stage) -> [B, PH, PW] packed-BGR i32 staging crops. Requires
-    oy % 8 == 0 and oy + PH <= LH (the aligned-slice trick); callers
-    gate on geometry and fall back to the XLA tail otherwise."""
+    IDCT stage) -> [B, PH, PW] packed-BGR i32 staging crops. Any window
+    geometry (round-4 generalization, same scheme as
+    fused_backhalf_planes: XLA zero-lane-pad to a 256-multiple +
+    roll/zero-fill crop alignment in _color_pack_aligned); callers gate
+    on jpegdec._pallas_tail_ok for platform + size."""
     B, lh, lw = y_u8.shape
     ph, pw = pad_hw
-    if not (win.oy % 8 == 0 and win.oy + ph <= lh):
+    if not (win.oy + win.rh <= lh and win.ox + win.rw <= lw):
         raise ValueError(
-            f"pallas tail geometry unsupported (oy={win.oy}, "
-            f"pad_hw={pad_hw}, luma {lh}x{lw})")
+            f"crop exceeds the decoded window (win={win}); the "
+            "plane feed and pad_hw are inconsistent")
+    L = _lane_target(lw, pw)
+    y_u8 = _pad_lanes(y_u8, L)
+    cb_u8 = _pad_lanes(cb_u8, L // 2)
+    cr_u8 = _pad_lanes(cr_u8, L // 2)
     grp = GT
     pad = (-B) % grp
     if pad:
@@ -338,11 +381,11 @@ def upsample_color_pack(y_u8: jnp.ndarray, cb_u8: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct((Bp, ph, pw), jnp.int32),
             grid=(Bp // grp,),
             in_specs=[
-                pl.BlockSpec((grp, lh, lw), lambda i: (i, 0, 0),
+                pl.BlockSpec((grp, lh, L), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, lh // 2, lw // 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((grp, lh // 2, L // 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, lh // 2, lw // 2), lambda i: (i, 0, 0),
+                pl.BlockSpec((grp, lh // 2, L // 2), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((grp, ph, pw), lambda i: (i, 0, 0),

@@ -1,0 +1,57 @@
+"""Shared adversarial-frame generator for the fuzz suites.
+
+Used by tests/test_oracle_fuzz.py (CPU: our XLA paths vs the shimmed
+reference executed as an oracle) and tests/test_tpu_fuzz.py (real chip:
+the full Pallas path vs the oracle-validated XLA path). Keeping ONE
+generator guarantees the on-chip gate covers the same input space the
+reference-oracle run validated (VERDICT r3 weak #1 / next #2).
+"""
+import numpy as np
+
+
+def fuzz_frames(camera, n, seed):
+    """Adversarial frame mix: random angles, carry-correction
+    boundaries, stub needles, sparse/dense speckle, and speckle
+    clusters painted near the dials (near-threshold contour areas,
+    largest-component ties, hole closures)."""
+    rng = np.random.default_rng(seed)
+    (x0, y0), (x1, y1) = camera.meter_rect
+    max_ox = (x1 - x0) - camera.template_w - 1
+    max_oy = (y1 - y0) - camera.template_h - 1
+    frames = []
+    for i in range(n):
+        pos = [float(p) for p in rng.uniform(0, 10, 4)]
+        if i % 5 == 1:
+            # carry-correction boundary: fractions near .45/.55 with
+            # next-lower digit near the 2/8 thresholds
+            pos = [rng.uniform(0, 10),
+                   float(int(rng.uniform(0, 10)) + rng.choice([0.44, 0.56])),
+                   rng.choice([1.9, 2.1, 7.9, 8.1]),
+                   rng.uniform(0, 10)]
+            pos = [float(p) for p in pos]
+        stub = (2,) if i % 7 == 3 else ()
+        off = (int(rng.integers(5, max_ox)), int(rng.integers(5, max_oy)))
+        f = camera.render_frame(pos, offset=off, stub_dials=stub)
+        if i % 4 == 2:
+            # sparse speckle noise (stresses CCL + largest-component)
+            m = rng.random(f.shape[:2]) < 0.001
+            f[m] = (40, 40, 200)
+        if i % 6 == 5:
+            # denser speckle: clustered blobs, merged components, holes
+            m = rng.random(f.shape[:2]) < 0.004
+            f[m] = (40, 40, 200)
+        if i % 9 == 4:
+            # needle-colored blobs near the dial centers: near-threshold
+            # contour areas and largest-selection ties
+            ox = x0 + off[0]
+            oy = y0 + off[1]
+            for _ in range(rng.integers(2, 7)):
+                name, (cx, cy), diam = camera.dial_specs[
+                    rng.integers(0, len(camera.dial_specs))]
+                bx = ox + int(cx) + int(rng.integers(-diam - 9, diam + 9))
+                by = oy + int(cy) + int(rng.integers(-diam - 9, diam + 9))
+                r = int(rng.integers(1, 4))
+                f[max(by - r, 0):by + r + 1, max(bx - r, 0):bx + r + 1] = (
+                    40, 40, 200)
+        frames.append(f)
+    return frames

@@ -322,6 +322,60 @@ def test_fused_backhalf_matches_xla():
     np.testing.assert_array_equal(got_a, ref_a)
 
 
+def test_fused_backhalf_unaligned_geometry():
+    """Round-4 generalization gate: a synthetic window with EVERY
+    formerly-excluded property — odd crop row origin (oy=13), non-128
+    plane width (lw=80), staging pad taller AND wider than the window
+    (96x128 vs 80x80) — must be bit-identical between the fused Pallas
+    back-half (roll + zero-fill + lane-pad paths) and the XLA tail.
+    Small shapes keep interpret mode fast enough for the CPU suite."""
+    from meterelf_tpu.ops.pallas_jpeg import fused_backhalf_planes
+    from meterelf_tpu.types import Rect
+
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    interpret = dev.platform != "tpu"
+    rect = Rect((9, 13), (9 + 61, 13 + 59))     # odd origin, odd size
+    win = jpegdec.coef_window(rect, 128, 96)
+    assert win.oy % 8 != 0 and (8 * win.lbw) % 128 != 0
+    pad_hw = (96, 128)
+    assert pad_hw[0] > 8 * win.lbh or win.oy + pad_hw[0] > 8 * win.lbh
+
+    rng = np.random.default_rng(20260820)
+    B = 1
+    lh, lw = win.lbh * 8, win.lbw * 8
+    fy = rng.integers(-2048, 2048, (B, lh, lw)).astype(np.int16)
+    fcb = rng.integers(-2048, 2048, (B, lh // 2, lw // 2)).astype(np.int16)
+    fcr = rng.integers(-2048, 2048, (B, lh // 2, lw // 2)).astype(np.int16)
+    qt = rng.integers(1, 256, (B, 3, 64)).astype(np.uint16)
+
+    def to_blocks(fp, bh, bw):
+        return (fp.reshape(B, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
+                .reshape(B, bh * bw, 64))
+
+    ref = np.asarray(jax.jit(
+        lambda a, b, c, q: jpegdec.backhalf_to_packed(
+            a, b, c, q, win, pad_hw=pad_hw))(
+            to_blocks(fy, win.lbh, win.lbw),
+            to_blocks(fcb, win.lbh // 2, win.lbw // 2),
+            to_blocks(fcr, win.lbh // 2, win.lbw // 2), qt))
+    old_gt = os.environ.get("METERELF_JPEG_TAIL_GT")
+    import meterelf_tpu.ops.pallas_jpeg as pj
+    gt_save = pj.GT
+    pj.GT = 1   # 1-image group: keeps the interpret trace small
+    try:
+        got = np.asarray(jax.jit(
+            lambda a, b, c, q: fused_backhalf_planes(
+                a, b, c, q, win, pad_hw, interpret=interpret))(
+                    fy, fcb, fcr, qt))
+    finally:
+        pj.GT = gt_save
+        del old_gt
+    np.testing.assert_array_equal(got, ref)
+    # the staging pad outside the crop must be exactly zero
+    assert (got[:, rect.height:, :] == 0).all()
+    assert (got[:, :, rect.width:] == 0).all()
+
+
 def _segments(data):
     """Split a JPEG byte stream into (marker, absolute start, seg bytes)
     triples up to SOS — enough structure to splice APPn/DRI segments

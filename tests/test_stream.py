@@ -395,6 +395,62 @@ def test_stream_bytes_matches_crops_camera2(params2):
         assert a.cumulative_liters == b.cumulative_liters
 
 
+def test_stream_bytes_feed_workers(params1, decoder1):
+    """--feed-workers N: the sharded subprocess entropy feed must be
+    BIT-IDENTICAL to the in-process feed (same reports over a corpus
+    slice that includes the two corrupt frames exercising the fallback
+    slot merge across shard boundaries). N=2 on this 1-core box proves
+    the plumbing; the scaling curve is bench.py's entropy sweep."""
+    from glob import glob
+    from meterelf_tpu.stream import stream_decode_bytes
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))[:8]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    ts = list(np.arange(1000.0, 1000.0 + 10.0 * len(files), 10.0))
+    byte_frames = [(f, open(f, "rb").read()) for f in files]
+    ref = list(stream_decode_bytes(
+        params1, byte_frames, (480, 640), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts)))
+    got = list(stream_decode_bytes(
+        params1, byte_frames, (480, 640), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts), feed_workers=2))
+    assert len(got) == len(ref) > 0
+    for a, b in zip(got, ref):
+        assert a.frames_ok == b.frames_ok
+        assert a.frames_error == b.frames_error
+        assert a.last_value == b.last_value
+        assert a.cumulative_liters == b.cumulative_liters
+
+
+def test_feed_worker_pool_matches_inprocess(params1):
+    """FeedWorkerPool.load == io.jpeg.load_coef_feed array-for-array,
+    including the fallback slots (the two corrupt frames land in
+    different shards)."""
+    from glob import glob
+    from meterelf_tpu.io import jpeg as jio
+    from meterelf_tpu.ops import jpegdec
+    from meterelf_tpu.stream import FeedWorkerPool
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))[:6]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    datas = [open(f, "rb").read() for f in files]
+    pad_hw = jio.frontend_pad_hw()
+    win = jpegdec.coef_window(params1.meter_rect, 480, 640)
+    plane = jpegdec.fused_tail_ok(win, pad_hw)
+    ref = jio.load_coef_feed(datas, params1.meter_rect, (480, 640),
+                             pad_hw)
+    pool = FeedWorkerPool(2, params1.meter_rect, (480, 640), pad_hw,
+                          tuple(win), plane)
+    try:
+        got = pool.load(datas)
+    finally:
+        pool.close()
+    for i, (a, b) in enumerate(zip(got, ref)):
+        np.testing.assert_array_equal(a, b, err_msg=f"field {i}")
+
+
 def test_stream_watch_bytes_mid_write(tmp_path, params1):
     """Bytes mode (--watch --coef) must not swallow a JPEG still being
     written: a payload without the trailing EOI marker retries next poll
