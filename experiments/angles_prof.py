@@ -61,7 +61,13 @@ okey_r, keymax_r = map(jax.device_put, map(np.asarray, mk(pa, packed)))
 
 
 def stage(okb, kmb, i, mode, acc):
-    okb = okb.at[0, 0, 0].set(okb[0, 0, 0] ^ (i * 0))  # keep shape dep
+    # hoist-proofing: the body MUST depend on the loop index or XLA
+    # lifts it out of the lax.map and the harness measures dispatch
+    # floor / REPS for any body (docs/performance.md measurement
+    # discipline). An earlier edition used `^ (i * 0)` — constant-folded
+    # to a no-op, so its numbers were pure floor. The xor flips one
+    # okey low bit; work content is unchanged to timing precision.
+    okb = okb.at[0, 0, 0].set(okb[0, 0, 0] ^ i)
 
     def dial(ok1, km1, i_d):
         i32 = jnp.int32

@@ -171,6 +171,19 @@ def _run_until(k_max: int, body, x0, reduce_eq):
     return xf, redf
 
 
+_SKIPREV = os.environ.get("METERELF_CCL_SKIPREV", "0") != "0"
+                  # measured DEAD END, default off: skip the reverse
+                  # half of a lockstep pair when the forward half was a
+                  # no-op for every live phase (monotone propagation
+                  # proves the rev half is a no-op too; bit-identical
+                  # results/flags, asserted on chip). The per-pair
+                  # forward-convergence check + in-kernel lax.cond cost
+                  # MORE than the saved half: -2.0% empty / -3.2%
+                  # corpus-like / -7.6% dense noise
+                  # (experiments/ccl_skiprev_ab.py, v5e 2026-08-20).
+                  # Kept behind the knob so it is not re-derived.
+
+
 def _run_lockstep_pairs(k_lab: int, k_out: int, half_fwd, half_rev,
                         v0, masked, red_lab_fn, red_out_fn):
     """Run the label and outside-flood propagations IN LOCKSTEP on one
@@ -206,11 +219,32 @@ def _run_lockstep_pairs(k_lab: int, k_out: int, half_fwd, half_rev,
 
     def step(c):
         i, v, redl, redo, dl, do_ = c
-        v1 = half_fwd(v)
-        v2 = half_rev(v1)
-        eq = jnp.where((v2 - v1) == i32(0), i32(1), i32(0))
         lab_act = i < i32(PL)
         out_act = i < i32(PO)
+        v1 = half_fwd(v)
+        if _SKIPREV:
+            # monotone propagation: a forward half that was a no-op for
+            # every LIVE phase proves the reverse half would be one too
+            # (a phase past its cap is frozen, a done phase cannot
+            # move), so the certify pair pays one half instead of two.
+            # Results, frozen partial states, and convergence flags are
+            # bit-identical to the always-both schedule: the skipped
+            # rev's eq raster would be all-ones exactly where eqf is.
+            eqf = jnp.where((v1 - v) == i32(0), i32(1), i32(0))
+            dl1 = jnp.min(red_lab_fn(jnp.where(masked, eqf, i32(1)))) > 0
+            do1 = jnp.min(red_out_fn(jnp.where(masked, i32(1), eqf))) > 0
+            skip = ((dl1 | ~lab_act | dl)
+                    & (do1 | ~out_act | do_))
+
+            def with_rev(v1):
+                v2 = half_rev(v1)
+                return v2, jnp.where((v2 - v1) == i32(0),
+                                     i32(1), i32(0))
+
+            v2, eq = lax.cond(skip, lambda x: (x, eqf), with_rev, v1)
+        else:
+            v2 = half_rev(v1)
+            eq = jnp.where((v2 - v1) == i32(0), i32(1), i32(0))
         # freeze each phase's cells once ITS cap is reached (the other
         # phase may still be sweeping)
         nv = jnp.where(masked,

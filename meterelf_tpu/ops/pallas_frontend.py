@@ -52,6 +52,7 @@ on the full sample corpus.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -71,6 +72,13 @@ BANK_M = 3840  # (flagship) 32 column-shifted template copies x 120 rows
 BANK_K = 224   # (flagship) template cols 188 + 31 shifts <= 219, 32-aligned
 BLK = 120      # (flagship) rows per copy: 119 real + 1 pad (8-aligned
                # slices, strided-rotate spread 119 < 128)
+XG = int(os.environ.get("METERELF_FE_XG", "32"))
+               # correlation x-group size: template-copy column shifts
+               # per matmul. 32 amortizes K=224 tiles over wide groups;
+               # 4 cuts the bank contraction to K=192 (192/188 = 1.02
+               # column inflation vs 224/188 = 1.19) at the cost of 16
+               # smaller matmuls + non-32-aligned i8 sublane slices of
+               # the transposed image. Perf A/B knob (round-4 item 1).
 
 
 class FrontendGeom(NamedTuple):
@@ -88,9 +96,10 @@ class FrontendGeom(NamedTuple):
     oh: int       # correlation output rows = crop_h - th + 1
     ow: int       # correlation output cols = crop_w - tw + 1 (<= 128)
     blk: int      # bank rows per shifted template copy (8-aligned >= th)
-    bank_k: int   # bank contraction dim (tw + 31 shifts, 32-aligned)
-    nx: int       # number of 32-column correlation matmuls = ceil(ow/32)
+    bank_k: int   # bank contraction dim (tw + xg-1 shifts, 32-aligned)
+    nx: int       # number of correlation matmuls = ceil(ow/xg)
     ow_pad: int   # 8-aligned >= ow (boxsum ones-bank rows)
+    xg: int       # column shifts per matmul (module default XG)
 
 
 def geom_for(crop_h: int, crop_w: int,
@@ -103,8 +112,8 @@ def geom_for(crop_h: int, crop_w: int,
       ones-bank carry at most 128 sublanes);
     - bank: blk = ceil8(th) <= 128 (the strided-rotate diagonal
       reduction's per-vreg spread is blk-1, hardware cap 128) and every
-      32-column input slice must stay inside the 320-row transposed
-      image: (nx-1)*32 + bank_k <= STAGE + 64;
+      xg-column input slice must stay inside the 320-row transposed
+      image: (nx-1)*xg + bank_k <= STAGE + 64;
     - superwindow: dial windows are DIAL_WIN=64 squares clipped inside
       the template (params.py win_origin), so th in [64, SW_H] and
       tw in [64, SW_W] keep every window inside the extracted
@@ -112,17 +121,18 @@ def geom_for(crop_h: int, crop_w: int,
     oh, ow = crop_h - th + 1, crop_w - tw + 1
     if oh < 1 or not (1 <= ow <= 128):
         return None
+    xg = XG
     blk = -(-th // 8) * 8
-    bank_k = -(-(tw + 32) // 32) * 32
-    nx = -(-ow // 32)
+    bank_k = -(-(tw + xg) // 32) * 32
+    nx = -(-ow // xg)
     ow_pad = -(-ow // 8) * 8
     if not (crop_h <= STAGE and crop_w <= STAGE
             and blk <= 128
-            and (nx - 1) * 32 + bank_k <= STAGE + 64
+            and (nx - 1) * xg + bank_k <= STAGE + 64
             and 64 <= th <= SW_H and 64 <= tw <= SW_W):
         return None
     return FrontendGeom(crop_h, crop_w, th, tw, oh, ow,
-                        blk, bank_k, nx, ow_pad)
+                        blk, bank_k, nx, ow_pad, xg)
 
 
 def fits(crop_h: int, crop_w: int, th: int, tw: int) -> bool:
@@ -204,13 +214,13 @@ def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref, geom):
          jnp.zeros((64, STAGE), jnp.int8)], axis=0)  # [STAGE+64] L-128
     bank = bank_ref[...]
 
-    for x32 in range(0, g.nx * 32, 32):
+    for x32 in range(0, g.nx * g.xg, g.xg):
         sl = lt8[x32:x32 + g.bank_k, :]
         rx = lax.dot_general(
             bank, sl,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=i32)             # [32*blk, STAGE] i32
-        for d in range(min(32, g.ow - x32)):
+            preferred_element_type=i32)             # [xg*blk, STAGE] i32
+        for d in range(min(g.xg, g.ow - x32)):
             blk = rx[d * g.blk:(d + 1) * g.blk, :]
             # corr[y, x32+d] = sum_s blk[s, y + th-1 - s]: one strided
             # rotate (shift_s = s) + sublane sum; output lane y + th-1.
@@ -269,14 +279,14 @@ def _stat_tile(max_val, mx, my):
 
 def _template_bank(template_u8: jnp.ndarray,
                    geom: FrontendGeom) -> jnp.ndarray:
-    """[32*blk, bank_k] int8 bank: block d (rows d*blk..) holds the
+    """[xg*blk, bank_k] int8 bank: block d (rows d*blk..) holds the
     row-reversed, -128-shifted template at column offset d:
     bank[d*blk + s, c] = T[th-1-s, c-d] - 128 (0 off-support)."""
     t_rev = (template_u8[::-1].astype(jnp.int32) - 128).astype(jnp.int8)
     blocks = [
         jnp.pad(t_rev, ((0, geom.blk - geom.th),
                         (d, geom.bank_k - geom.tw - d)))
-        for d in range(32)
+        for d in range(geom.xg)
     ]
     return jnp.concatenate(blocks, axis=0)
 
@@ -346,7 +356,7 @@ def frontend_pallas(
             in_specs=[
                 pl.BlockSpec((STAGE, STAGE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((32 * geom.blk, geom.bank_k),
+                pl.BlockSpec((geom.xg * geom.blk, geom.bank_k),
                              lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -357,7 +367,8 @@ def frontend_pallas(
                 pl.BlockSpec((8, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((geom.nx * 32, STAGE), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((geom.nx * geom.xg, STAGE),
+                                       jnp.int32)],
             interpret=interpret,
         )(img_pad, bank, c1)
 
@@ -430,7 +441,7 @@ def frontend_windows_pallas(
             in_specs=[
                 pl.BlockSpec((STAGE, STAGE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((32 * geom.blk, geom.bank_k),
+                pl.BlockSpec((geom.xg * geom.blk, geom.bank_k),
                              lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -446,7 +457,8 @@ def frontend_windows_pallas(
                 pl.BlockSpec((8, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((geom.nx * 32, STAGE), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((geom.nx * geom.xg, STAGE),
+                                       jnp.int32)],
             interpret=interpret,
         )(img_pad, bank, c1, disk_quad, cr, hs)
 

@@ -305,24 +305,36 @@ def _decode_batch(
     if comp is None:  # fused-stats quad path
         has_any = hasany_f.reshape(B, D)
         conv = conv_q
-        okey_r = okey_f.reshape(B, D, W * W)
         keymax_r = keymax.reshape(B, D)
 
-        # stage C: angle statistics straight off the okey3 raster
+        # stage C: angle statistics gathered straight from the CCL
+        # kernel's native QUAD raster with index-adjusted static slots
+        # (okey_q[y, d*64+x] == okey_f[d][y*64+x]) — the dequad
+        # transpose then feeds ONLY the stats kernel; its second
+        # consumer forced a materialized [B*D, W*W] relayout that cost
+        # ~0.25 ms/256 (experiments/angles_quad_ab.py: angles delta
+        # 0.58 -> 0.32 ms, identical checksums)
+        okq = okey_q.reshape(B, W * D * W)
+
+        def _quad_idx(idx, d):
+            return ((idx >> 6) * jnp.int32(D * W)
+                    + d.astype(jnp.int32) * jnp.int32(W)
+                    + (idx & jnp.int32(W - 1)))
+
         per_dial = jax.vmap(  # over batch
             lambda okb, kmb: jax.vmap(  # over dials
                 lambda i: angles_ops.read_dial_from_okey(
-                    okb[i], kmb[i],
-                    pa.disk_idx[i], pa.disk_valid[i],
+                    okb, kmb[i],
+                    _quad_idx(pa.disk_idx[i], i), pa.disk_valid[i],
                     pa.disk_sx2[i], pa.disk_sy2[i],
-                    pa.ann_idx[i], pa.ann_valid[i],
+                    _quad_idx(pa.ann_idx[i], i), pa.ann_valid[i],
                     pa.ann_x[i], pa.ann_y[i],
                     pa.ann_angle[i], pa.ann_sqd[i],
                     pa.neg_sign[i], pa.zero_turn[i],
                     sum_dtype=sum_dtype,
                 )
             )(jnp.arange(D))
-        )(okey_r, keymax_r)
+        )(okq, keymax_r)
     else:
         has_any = comp.has_any.reshape(B, D)
         conv = comp.converged.reshape(B, D)

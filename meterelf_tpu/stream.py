@@ -260,7 +260,7 @@ class FeedWorkerPool:
             else:
                 os.environ["JAX_PLATFORMS"] = old
 
-    def load(self, datas: Sequence[bytes]):
+    def load(self, datas: Sequence[bytes]) -> tuple:
         """load_coef_feed for one batch, sharded across the workers."""
         n = len(datas)
         per = -(-n // self._n)

@@ -27,6 +27,28 @@ def test_lint_clean():
         f"{p}:{ln}: {msg}" for (p, ln, msg) in findings)
 
 
+def test_lint_signature_checks_fire(tmp_path):
+    """The SIG1xx cross-module call/signature checks (the in-repo slice
+    of the type gate, VERDICT r3 Missing #1) must actually detect arity
+    violations — too many positionals, missing required args, unknown
+    keywords, positional+keyword duplicates."""
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import lint
+    finally:
+        sys.path.pop(0)
+    pkg = tmp_path / "meterelf_tpu"
+    pkg.mkdir()
+    (pkg / "a.py").write_text(
+        '"""a."""\ndef f(x: int, y: int = 0) -> int:\n    return x + y\n')
+    (pkg / "b.py").write_text(
+        '"""b."""\nfrom . import a\nfrom .a import f\n'
+        "f(1, 2, 3)\na.f()\na.f(1, zz=2)\nf(1, x=1)\nf(1)\n")
+    codes = sorted(m.split()[0] for _, _, m in lint.lint([str(pkg)])
+                   if m.startswith("SIG"))
+    assert codes == ["SIG101", "SIG102", "SIG103", "SIG104"], codes
+
+
 def test_mypy_if_available():
     if importlib.util.find_spec("mypy") is None:
         pytest.skip("mypy not installed in this image (no network to add "
