@@ -77,8 +77,16 @@ XG = int(os.environ.get("METERELF_FE_XG", "32"))
                # per matmul. 32 amortizes K=224 tiles over wide groups;
                # 4 cuts the bank contraction to K=192 (192/188 = 1.02
                # column inflation vs 224/188 = 1.19) at the cost of 16
-               # smaller matmuls + non-32-aligned i8 sublane slices of
-               # the transposed image. Perf A/B knob (round-4 item 1).
+               # smaller matmuls + non-32-aligned i8 sublane slices.
+               # MEASURED (experiments/frontend_xg_ab.py, v5e
+               # 2026-08-20): XG in {4, 8, 16, 32} all land within
+               # +-1.3% (2.93-3.01 ms incl. ~1.9 ms floor), bit-parity
+               # across the board — i.e. cutting the matmul's K MACs by
+               # 14% moves nothing, so the split frontend kernel is NOT
+               # correlation-matmul-bound; the remaining frontend
+               # budget lives in the VPU stages (diagonal epilogue,
+               # unpack/L, argmax, superwindow rotates). Default stays
+               # 32 (the widest-tile, best-understood layout).
 
 
 class FrontendGeom(NamedTuple):
