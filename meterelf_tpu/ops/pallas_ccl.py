@@ -34,6 +34,17 @@ W = 64            # window size
 N = W * W         # flat index bound; BIG label
 GP = 8            # window pairs per program
 _SEG_BASE = 8192
+_GLUE = os.environ.get("METERELF_CCL_GLUE", "both")
+                  # "both": 3x3 glue (min3x3 + any4) in BOTH halves of a
+                  # lockstep pair (the round-3 schedule). "fwd": glue in
+                  # the forward half only — the reverse half runs the
+                  # segmented sweeps alone (~38% cheaper). Any glue
+                  # schedule reaches the SAME unique fixpoint, and the
+                  # convergence certificate is schedule-independent (a
+                  # no-op pair includes a no-op glue), so converged
+                  # windows are bit-identical; only non-converged
+                  # (capped) partial states can differ, and those route
+                  # to the rescue graph either way. Perf A/B knob.
 
 
 def _iotas(S, L=128):
@@ -206,6 +217,11 @@ def _run_lockstep_pairs(k_lab: int, k_out: int, half_fwd, half_rev,
     direct == on i1-derived i32 casts gets canonicalized back to an
     i1-vector cmpi Mosaic cannot legalize."""
     assert k_lab % 2 == 0 and k_out % 2 == 0
+    # the skip-rev certificate ("fwd half no-op => rev provably no-op")
+    # requires the fwd half to contain the glue; the two experimental
+    # knobs are mutually exclusive with the sound certificates as coded
+    assert not (_SKIPREV and _GLUE == "fwd"), (
+        "METERELF_CCL_SKIPREV and METERELF_CCL_GLUE=fwd cannot combine")
     PL, PO = k_lab // 2, k_out // 2
     i32 = jnp.int32
     z = jnp.zeros_like(v0, i32)
@@ -244,7 +260,16 @@ def _run_lockstep_pairs(k_lab: int, k_out: int, half_fwd, half_rev,
             v2, eq = lax.cond(skip, lambda x: (x, eqf), with_rev, v1)
         else:
             v2 = half_rev(v1)
-            eq = jnp.where((v2 - v1) == i32(0), i32(1), i32(0))
+            # SOUNDNESS of the certificate: right after a half's sweeps
+            # the state is sweep-stable in those directions (cummin is
+            # idempotent), so "rev half was a no-op" certifies a full
+            # fixpoint ONLY if the rev half also contains the 3x3 glue.
+            # Under the glue="fwd" schedule the rev half runs sweeps
+            # alone, so the certificate must instead be "the WHOLE pair
+            # was a no-op" (the pair contains one glue) — one pair later
+            # sometimes, never wrong.
+            base = v1 if _GLUE != "fwd" else v
+            eq = jnp.where((v2 - base) == i32(0), i32(1), i32(0))
         # freeze each phase's cells once ITS cap is reached (the other
         # phase may still be sweeping)
         nv = jnp.where(masked,
@@ -295,13 +320,14 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
     rids_fwd = [rids[0], rids[2]]   # row-fwd, col-fwd
     rids_rev = [rids[1], rids[3]]   # row-rev, col-rev
 
-    def combined_half(rids_sub, v):
-        lab_view = jnp.where(masked, v, BIG)
-        lab_new = jnp.minimum(v, _min3x3(lab_view, S, sub, lane, N))
-        out_is = bg & (v == i32(0))
-        grow = out_is | (bg & _any4(out_is, S, sub, lane))
-        v = jnp.where(masked, lab_new,
-                      jnp.where(grow, i32(0), v))
+    def combined_half(rids_sub, v, glue=True):
+        if glue:
+            lab_view = jnp.where(masked, v, BIG)
+            lab_new = jnp.minimum(v, _min3x3(lab_view, S, sub, lane, N))
+            out_is = bg & (v == i32(0))
+            grow = out_is | (bg & _any4(out_is, S, sub, lane))
+            v = jnp.where(masked, lab_new,
+                          jnp.where(grow, i32(0), v))
         return _seg_min_sweep(v, rids_sub, S, sub, lane)
 
     v0 = jnp.where(masked, idx,
@@ -309,7 +335,8 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
     field, red_lab, red_out = _run_lockstep_pairs(
         k_label, k_outside,
         functools.partial(combined_half, rids_fwd),
-        functools.partial(combined_half, rids_rev),
+        functools.partial(combined_half, rids_rev,
+                          glue=_GLUE != "fwd"),
         v0, masked, reduce_eq, reduce_eq)
     labels = jnp.where(masked, field, BIG)
     outside = bg & (field == i32(0))
