@@ -46,9 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 W = 64
 N = W * W        # labels are flat window indices; N = CCL sentinel
-GW = int(os.environ.get("METERELF_STATS_GW", "8"))
+GW = int(os.environ.get("METERELF_STATS_GW", "16"))
                  # windows per program (i32 sublane tile; >= 8).
-                 # Env override is for perf experiments only.
+                 # 16 measured best on the round-4 bench (64,862 vs
+                 # 64,634 img/s at 8 — +0.35%, reproduced at +0.5% in a
+                 # separate session; 32 compiles too slowly over the
+                 # tunnel to evaluate). Env override for experiments.
 
 
 def _stats_kernel(okey_ref, contrib_ref, out_ref):

@@ -451,6 +451,37 @@ def test_feed_worker_pool_matches_inprocess(params1):
         np.testing.assert_array_equal(a, b, err_msg=f"field {i}")
 
 
+def test_stream_bytes_mesh_with_feed_workers(params1, decoder1):
+    """The full production shape composes: subprocess entropy workers
+    (--feed-workers) feeding a mesh-sharded coefficient stream
+    (--mesh) must equal the plain single-device in-process stream, with
+    device_agg present on full batches."""
+    import jax
+    from glob import glob
+    from meterelf_tpu.parallel.mesh import make_mesh
+    from meterelf_tpu.stream import stream_decode_bytes
+
+    files = sorted(glob("/root/reference/sample-images1/*.jpg"))[2:10]
+    if not files:
+        pytest.skip("sample corpus not mounted")
+    ts = list(np.arange(1000.0, 1000.0 + 10.0 * len(files), 10.0))
+    byte_frames = [(f, open(f, "rb").read()) for f in files]
+    ref = list(stream_decode_bytes(
+        params1, byte_frames, (480, 640), decoder=decoder1,
+        batch_size=8, timestamps=iter(ts)))
+    mesh = make_mesh(jax.devices("cpu"))
+    got = list(stream_decode_bytes(
+        params1, byte_frames, (480, 640), decoder=decoder1,
+        mesh=mesh, batch_size=8, feed_workers=2, timestamps=iter(ts)))
+    assert len(got) == len(ref) > 0
+    for a, b in zip(got, ref):
+        assert a.frames_ok == b.frames_ok
+        assert a.frames_error == b.frames_error
+        assert a.last_value == b.last_value
+        assert a.cumulative_liters == b.cumulative_liters
+    assert all(r.device_agg is not None for r in got)
+
+
 def test_stream_watch_bytes_mid_write(tmp_path, params1):
     """Bytes mode (--watch --coef) must not swallow a JPEG still being
     written: a payload without the trailing EOI marker retries next poll
