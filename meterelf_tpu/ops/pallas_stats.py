@@ -36,6 +36,7 @@ u16-sort stage -> 0.19 ms for this kernel end-to-end.
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -91,13 +92,23 @@ def _stats_kernel(okey_ref, contrib_ref, out_ref):
         out_ref[w, :] = jnp.full((128,), jnp.max(key), i32)
 
 
-def _stats_fused_kernel(okey_ref, out_ref):
+def _stats_fused_kernel(okey_ref, out_ref, *, row_spans=None):
     """Fused variant: okey3 packing (owner*8 + closed*4 + masked*2 +
     boundary, pallas_ccl pack_closed=True) in, [keymax, has_any] row
     out. The marching-squares cell contributions (components.py
     _cell_contrib) are computed IN-KERNEL from the owner plane, so the
     XLA contrib stage and its HBM round trips disappear entirely
-    (pipeline/decode.py fused-stats path)."""
+    (pipeline/decode.py fused-stats path).
+
+    row_spans: optional per-dial (y0, rows) window-row extents of the
+    dial disk masks (window w uses row_spans[w % len]); when given, the
+    per-window one-hot contraction is restricted to those rows on BOTH
+    the pixel (lane) axis and the hi-bin axis. Bit-exact: every support
+    pixel (owner < N) lies inside the disk mask, so out-of-span pixels
+    carry the hi = 64 sentinel and contribute nothing to either
+    histogram; has_any still reduces over the full row. Measured -22%
+    kernel time on corpus okey rasters (experiments/stats_kernel_prof.py,
+    bbox variant, bit-identical)."""
     i32 = jnp.int32
     i8 = jnp.int8
     ok_all = okey_ref[...]                       # [GW, N] i32 okey3
@@ -131,11 +142,8 @@ def _stats_fused_kernel(okey_ref, out_ref):
                    + pltpu.roll(cls * a10, 64, 1)    # from cell j - 64
                    + pltpu.roll(cls * a11, 65, 1))   # from cell j - 65
 
-    sub64 = lax.broadcasted_iota(i32, (64, N), 0)
-    zeros = jnp.zeros((64, N), i32)
-    cell = (lax.broadcasted_iota(i32, (64, 64), 0) * i32(64)
-            + lax.broadcasted_iota(i32, (64, 64), 1))
     il = lax.broadcasted_iota(i32, (1, 128), 1)
+    spans = (row_spans if row_spans is not None else ((0, 64),))
 
     def dot_nt(x, y):
         return lax.dot_general(
@@ -143,46 +151,88 @@ def _stats_fused_kernel(okey_ref, out_ref):
             preferred_element_type=i32)
 
     for w in range(GW):
-        ok = ok_all[w:w + 1, :]                      # [1, N] i32
+        y0, rows = spans[w % len(spans)]
+        ln = rows * 64
+        sl = slice(y0 * 64, y0 * 64 + ln)
+        sub_h = lax.broadcasted_iota(i32, (rows, ln), 0) + i32(y0)
+        sub_l = lax.broadcasted_iota(i32, (64, ln), 0)
+        zh = jnp.zeros((rows, ln), i32)
+        zl = jnp.zeros((64, ln), i32)
+        cell = ((lax.broadcasted_iota(i32, (rows, 64), 0) + i32(y0))
+                * i32(64)
+                + lax.broadcasted_iota(i32, (rows, 64), 1))
+        ok = ok_all[w:w + 1, sl]                     # [1, ln] i32
         owner = ok >> 3
-        hi = (owner >> 6) + zeros
-        lo = (owner & i32(63)) + zeros
-        bbit = (ok & i32(1)) + zeros
-        pc = contrib_all[w:w + 1, :] + zeros
-        a = (hi == sub64).astype(i8)                 # [64, N] onehot(hi)
-        onelo = lo == sub64
+        hi = (owner >> 6) + zh
+        lo = (owner & i32(63)) + zl
+        bbit = (ok & i32(1)) + zl
+        pc = contrib_all[w:w + 1, sl] + zl
+        a = (hi == sub_h).astype(i8)                 # [rows, ln] onehot(hi)
+        onelo = lo == sub_l
         mb = (onelo & (bbit > 0)).astype(i8)
         # the doubled-area sum folds into ONE matmul: the payload
         # (pc & 3) = (pc & 1) + 2*(pc >> 1 & 1) <= 3 fits i8, and
         # sum(a * payload) == h1 + 2*h2 term-by-term — bit-identical
         # to the two-matmul form for the 2-bit contributions
         pay = jnp.where(onelo, pc & i32(3), i32(0)).astype(i8)
-        hb = dot_nt(a, mb)                           # [64, 64] B
-        ha = dot_nt(a, pay)                          # [64, 64] A2
+        hb = dot_nt(a, mb)                           # [rows, 64] B
+        ha = dot_nt(a, pay)                          # [rows, 64] A2
         key = jnp.where(hb > 0, ha * i32(4096) + cell, i32(-1))
         km = jnp.max(key)
-        anym = jnp.max((ok >> 1) & i32(1))           # has_any (masked bit)
+        anym = jnp.max((ok_all[w:w + 1, :] >> 1) & i32(1))  # has_any
         out_ref[w:w + 1, :] = jnp.where(
             il == 0, jnp.full((1, 128), km, i32),
             jnp.full((1, 128), anym, i32))
 
 
-def stats_select_fused(okey3: jnp.ndarray, interpret: bool = False
+def disk_row_spans(mask_full) -> tuple[tuple[int, int], ...]:
+    """Per-dial (y0, rows) window-row extents of the disk masks for
+    stats_select_fused's restricted contraction: mask extent padded by
+    one row each side (the in-kernel contrib cells read one row past a
+    support pixel) and even-aligned so the lane slice y0*64 lands on a
+    128 boundary. Empty masks degrade to the full window."""
+    import numpy as np
+
+    spans = []
+    for d in range(mask_full.shape[0]):
+        ys = np.nonzero(np.asarray(mask_full[d]))[0]
+        if ys.size == 0:
+            spans.append((0, 64))
+            continue
+        y0 = max(0, int(ys.min()) - 1)
+        y1 = min(64, int(ys.max()) + 2)
+        y0 -= y0 % 2
+        y1 += y1 % 2
+        y1 = min(64, max(y1, y0 + 8))  # Mosaic sublane-dim floor
+        spans.append((y0, y1 - y0))
+    return tuple(spans)
+
+
+def stats_select_fused(okey3: jnp.ndarray, interpret: bool = False,
+                       row_spans: tuple | None = None
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """okey3 [K, W, W] or [K, N] i32 in the pack_closed layout
     (owner = okey3 >> 3, boundary bit = okey3 & 1, masked bit =
     (okey3 >> 1) & 1) -> (key_max [K] i32 as stats_select, has_any [K]
     bool). Cell contributions are derived in-kernel; callers skip
-    components._cell_contrib and the masked-plane dequad entirely."""
+    components._cell_contrib and the masked-plane dequad entirely.
+
+    row_spans: optional per-dial (y0, rows) extents (disk_row_spans);
+    window w uses row_spans[w % len] — valid when K iterates dials
+    minor-most and GW is a multiple of len(row_spans). Bit-identical
+    to the full-window contraction, ~22% faster."""
     K = okey3.shape[0]
+    if row_spans is not None and GW % len(row_spans) != 0:
+        row_spans = None  # dial phase would drift across grid blocks
     okf = okey3.reshape(K, N).astype(jnp.int32)
     kp = -(-K // GW) * GW
     if kp != K:  # pad with sentinel-owner rows: hi = 64, no candidates
         okf = jnp.concatenate(
             [okf, jnp.full((kp - K, N), jnp.int32(N * 8))], axis=0)
+    kernel = functools.partial(_stats_fused_kernel, row_spans=row_spans)
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _stats_fused_kernel,
+            kernel,
             out_shape=jax.ShapeDtypeStruct((kp, 128), jnp.int32),
             grid=(kp // GW,),
             in_specs=[

@@ -136,6 +136,8 @@ def _decode_batch(
     static_centers=None,     # ((cx, cy) per dial) as python ints, or None
     static_crop_hw=None,     # true (H, W) of the meter crop, or None
     static_bbox=None,        # per-dial stats bounding box (see analyze_batch)
+    static_stats_spans=None,  # per-dial (y0, rows) disk-row extents for the
+                             # fused stats kernel (pallas_stats.disk_row_spans)
     ccl_caps=None,           # CCL pass caps; None = corpus-tuned defaults,
                              # comp_ops.RESCUE_CAPS = guaranteed convergence
 ) -> BatchResult:
@@ -217,7 +219,8 @@ def _decode_batch(
                 okey_f = dequad(okey_q).reshape(B * D, W * W)
                 keymax, hasany_f = pallas_stats.stats_select_fused(
                     okey_f,
-                    interpret=_QUAD_STATS.endswith("interpret"))
+                    interpret=_QUAD_STATS.endswith("interpret"),
+                    row_spans=static_stats_spans)
                 comp = None
             else:
                 okey = dequad(okey_q)
@@ -539,6 +542,7 @@ class MeterDecoder:
         # fused Pallas path, else the bare crop (generalized gate — any
         # camera geometry inside the frontend family rides the kernel)
         from ..io.jpeg import frontend_pad_hw as _fe_pad
+        from ..ops import pallas_stats
         from ..ops.pallas_frontend import fits as _fe_fits
         _crop_hw = (params.meter_rect.height, params.meter_rect.width)
         self.feed_pad_hw = (
@@ -567,6 +571,7 @@ class MeterDecoder:
             static_crop_hw=(params.meter_rect.height,
                             params.meter_rect.width),
             static_bbox=_stats_bbox(pa.mask_full),
+            static_stats_spans=pallas_stats.disk_row_spans(pa.mask_full),
         )
         self._fn = jax.jit(
             functools.partial(_decode_batch, **self._static_kwargs))

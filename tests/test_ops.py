@@ -612,6 +612,16 @@ def test_fused_stats_chain_matches_xla(density):
     assert np.array_equal(np.asarray(conv_q).reshape(K),
                           np.asarray(ref.converged))
 
+    # the bbox-restricted contraction (disk_row_spans) is bit-identical:
+    # all support pixels live inside the disk mask rows
+    spans = pallas_stats.disk_row_spans(
+        np.broadcast_to(disk, (4, W, W)))
+    km2, hasany2 = jax.jit(functools.partial(
+        pallas_stats.stats_select_fused, interpret=interp,
+        row_spans=spans))(jnp.asarray(okey3))
+    assert np.array_equal(km, np.asarray(km2))
+    assert np.array_equal(hasany, np.asarray(hasany2))
+
 
 def test_read_dial_from_okey_matches_read_dial(params1):
     """Gather-point region derivation == materialized-region read_dial
