@@ -185,7 +185,7 @@ def _stats_fused_kernel(okey_ref, out_ref, *, row_spans=None):
             jnp.full((1, 128), anym, i32))
 
 
-def disk_row_spans(mask_full) -> tuple[tuple[int, int], ...]:
+def disk_row_spans(mask_full: jnp.ndarray) -> tuple[tuple[int, int], ...]:
     """Per-dial (y0, rows) window-row extents of the disk masks for
     stats_select_fused's restricted contraction: mask extent padded by
     one row each side (the in-kernel contrib cells read one row past a
