@@ -92,6 +92,36 @@ def _seg_min_sweep(v, rids, S, sub, lane):
     return v
 
 
+_RIDMM = os.environ.get("METERELF_CCL_RIDMM", "1") != "0"
+                  # run-id prologue on the MXU (triangular matmuls)
+                  # instead of 12 masked log-shift VPU steps; the CCL
+                  # kernel is otherwise VPU-bound with an idle MXU.
+                  # Env knob for A/B only.
+
+
+def _blk_cumsum_mm(tr_row, tr_col, S, L):
+    """Blocked (64-segmented) inclusive cumsums of the 0/1 transition
+    indicators as triangular i8 matmuls. Prefix sums are matmuls with a
+    block-diagonal triangular selector, so the run-id prologue rides
+    the otherwise-idle MXU instead of the VPU log-shift ladder; values
+    are <= 63 so i8 operands with i32 accumulation are exact."""
+    i8 = jnp.int8
+    i32 = jnp.int32
+    rl = lax.broadcasted_iota(i32, (L, L), 0)
+    cl = lax.broadcasted_iota(i32, (L, L), 1)
+    tl = ((rl <= cl) & ((rl >> 6) == (cl >> 6))).astype(i8)
+    rs = lax.broadcasted_iota(i32, (S, S), 0)
+    cs = lax.broadcasted_iota(i32, (S, S), 1)
+    ts = ((cs <= rs) & ((rs >> 6) == (cs >> 6))).astype(i8)
+    fr = lax.dot_general(tr_row.astype(i8), tl,
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=i32)
+    fc = lax.dot_general(ts, tr_col.astype(i8),
+                         dimension_numbers=(((1,), (0,)), ((), ())),
+                         preferred_element_type=i32)
+    return fr, fc
+
+
 def _make_transition_rids(dom, S, sub, lane):
     """Run ids whose runs are maximal spans of CONSTANT `dom` (bool)
     within each 64-block — the segmentation the lockstep label+outside
@@ -109,8 +139,11 @@ def _make_transition_rids(dom, S, sub, lane):
                        d ^ _shift_prev(d, 1, 1, S), jnp.int32(0))
     tr_col = jnp.where(sub >= jnp.int32(1),
                        d ^ _shift_prev(d, 1, 0, S), jnp.int32(0))
-    fr = _blk_scan(tr_row, 1, False, jnp.add, S, sub, lane)
-    fc = _blk_scan(tr_col, 0, False, jnp.add, S, sub, lane)
+    if _RIDMM:
+        fr, fc = _blk_cumsum_mm(tr_row, tr_col, S, lane.shape[1])
+    else:
+        fr = _blk_scan(tr_row, 1, False, jnp.add, S, sub, lane)
+        fc = _blk_scan(tr_col, 0, False, jnp.add, S, sub, lane)
     return [
         ((1, False), fr),
         ((1, True), -fr),

@@ -92,7 +92,13 @@ def _stats_kernel(okey_ref, contrib_ref, out_ref):
         out_ref[w, :] = jnp.full((128,), jnp.max(key), i32)
 
 
-def _stats_fused_kernel(okey_ref, out_ref, *, row_spans=None):
+I16_BIAS = 8192  # okey3 <= N*8 + 7 = 32775 overflows int16; the
+                 # pre-sliced feed ships (okey3 - I16_BIAS) as i16
+                 # (range [-8192, 24583]) and the kernel re-biases
+
+
+def _stats_fused_kernel(okey_ref, out_ref, *, row_spans=None,
+                        sliced_base=None):
     """Fused variant: okey3 packing (owner*8 + closed*4 + masked*2 +
     boundary, pallas_ccl pack_closed=True) in, [keymax, has_any] row
     out. The marching-squares cell contributions (components.py
@@ -108,29 +114,44 @@ def _stats_fused_kernel(okey_ref, out_ref, *, row_spans=None):
     carry the hi = 64 sentinel and contribute nothing to either
     histogram; has_any still reduces over the full row. Measured -22%
     kernel time on corpus okey rasters (experiments/stats_kernel_prof.py,
-    bbox variant, bit-identical)."""
+    bbox variant, bit-identical).
+
+    sliced_base: when given (per-window (y0u, R), uniform R), the input
+    rows are ALREADY pre-sliced to window rows [y0u, y0u+R), shipped as
+    i16 biased by -I16_BIAS so the relayout that builds the feed moves
+    ~R/64 the rows at half the bytes; row_spans still carries the
+    per-dial disk spans, read at offset (y0 - y0u) within the slice.
+    Sound for the same reason the span restriction is: support pixels,
+    their owner rows, masked pixels (has_any), and every valid contrib
+    cell lie within the span; the contrib roll wrap-ins land on the
+    slice's last row, which the vcell bound (r < R-1) masks exactly
+    like r < 63 masks the full-window wrap."""
     i32 = jnp.int32
     i8 = jnp.int8
-    ok_all = okey_ref[...]                       # [GW, N] i32 okey3
+    ok_all = okey_ref[...]                       # [GW, LN] okey3
+    if ok_all.dtype != i32:
+        ok_all = ok_all.astype(i32) + i32(I16_BIAS)
+    LN = ok_all.shape[1]
+    rmax = LN // 64 - 1
     own_all = ok_all >> 3                        # owner, N at non-support
 
     # ---- cell contributions in flat-lane layout: lane j = r*64 + c,
     # cells live at r < 63 & c < 63. Cyclic roll wrap sources are always
     # invalid cells (r = 63 or c = 63), so no receive-side masks needed.
-    lane_j = lax.broadcasted_iota(i32, (GW, N), 1)
+    lane_j = lax.broadcasted_iota(i32, (GW, LN), 1)
     r = lane_j >> 6
     c = lane_j & i32(63)
     o00 = own_all
-    o01 = pltpu.roll(own_all, N - 1, 1)          # j sees j + 1
-    o10 = pltpu.roll(own_all, N - 64, 1)         # j sees j + 64
-    o11 = pltpu.roll(own_all, N - 65, 1)
+    o01 = pltpu.roll(own_all, LN - 1, 1)         # j sees j + 1
+    o10 = pltpu.roll(own_all, LN - 64, 1)        # j sees j + 64
+    o11 = pltpu.roll(own_all, LN - 65, 1)
     m = jnp.minimum(jnp.minimum(o00, o01), jnp.minimum(o10, o11))
     e00 = (o00 == m).astype(i32)
     e01 = (o01 == m).astype(i32)
     e10 = (o10 == m).astype(i32)
     e11 = (o11 == m).astype(i32)
     k = e00 + e01 + e10 + e11
-    vcell = ((r < i32(63)) & (c < i32(63))
+    vcell = ((r < i32(rmax)) & (c < i32(63))
              & (m < i32(N))).astype(i32)
     cls = vcell * jnp.where(k == 4, i32(2),
                             jnp.where(k == 3, i32(1), i32(0)))
@@ -153,7 +174,11 @@ def _stats_fused_kernel(okey_ref, out_ref, *, row_spans=None):
     for w in range(GW):
         y0, rows = spans[w % len(spans)]
         ln = rows * 64
-        sl = slice(y0 * 64, y0 * 64 + ln)
+        if sliced_base is not None:
+            off = (y0 - sliced_base[w % len(sliced_base)][0]) * 64
+            sl = slice(off, off + ln)
+        else:
+            sl = slice(y0 * 64, y0 * 64 + ln)
         sub_h = lax.broadcasted_iota(i32, (rows, ln), 0) + i32(y0)
         sub_l = lax.broadcasted_iota(i32, (64, ln), 0)
         zh = jnp.zeros((rows, ln), i32)
@@ -208,8 +233,20 @@ def disk_row_spans(mask_full: jnp.ndarray) -> tuple[tuple[int, int], ...]:
     return tuple(spans)
 
 
+def uniform_row_spans(
+        spans: tuple[tuple[int, int], ...]
+) -> tuple[tuple[int, int], ...]:
+    """Rewrite disk_row_spans to one uniform row count R = max rows
+    (shifting y0 up where y0 + R would pass the window bottom — extra
+    padding rows above are harmless) so every window can be pre-sliced
+    to the same shape for the pre_sliced stats feed."""
+    R = max(r for _, r in spans)
+    return tuple((min(y0, W - R), R) for y0, _ in spans)
+
+
 def stats_select_fused(okey3: jnp.ndarray, interpret: bool = False,
-                       row_spans: tuple | None = None
+                       row_spans: tuple | None = None,
+                       sliced_base: tuple | None = None
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """okey3 [K, W, W] or [K, N] i32 in the pack_closed layout
     (owner = okey3 >> 3, boundary bit = okey3 & 1, masked bit =
@@ -220,23 +257,41 @@ def stats_select_fused(okey3: jnp.ndarray, interpret: bool = False,
     row_spans: optional per-dial (y0, rows) extents (disk_row_spans);
     window w uses row_spans[w % len] — valid when K iterates dials
     minor-most and GW is a multiple of len(row_spans). Bit-identical
-    to the full-window contraction, ~22% faster."""
+    to the full-window contraction, ~22% faster.
+
+    sliced_base: okey3 is [K, R*64] int16 (uniform_row_spans slices,
+    R = sliced_base[*][1]) biased by -I16_BIAS; the feed relayout moves
+    ~R/64 the rows at half the bytes (see _stats_fused_kernel docstring
+    for the soundness argument)."""
     K = okey3.shape[0]
-    if row_spans is not None and GW % len(row_spans) != 0:
-        row_spans = None  # dial phase would drift across grid blocks
-    okf = okey3.reshape(K, N).astype(jnp.int32)
+    if sliced_base is not None:
+        assert row_spans is not None and GW % len(row_spans) == 0
+        assert len(sliced_base) == len(row_spans)
+        r_u = sliced_base[0][1]
+        assert all(r == r_u for _, r in sliced_base)
+        ln = r_u * 64
+        assert okey3.shape[1:] == (ln,) and okey3.dtype == jnp.int16
+        okf = okey3
+        pad_val = jnp.int16(N * 8 - I16_BIAS)  # sentinel owner rows
+    else:
+        if row_spans is not None and GW % len(row_spans) != 0:
+            row_spans = None  # dial phase would drift across grid blocks
+        ln = N
+        okf = okey3.reshape(K, N).astype(jnp.int32)
+        pad_val = jnp.int32(N * 8)
     kp = -(-K // GW) * GW
     if kp != K:  # pad with sentinel-owner rows: hi = 64, no candidates
         okf = jnp.concatenate(
-            [okf, jnp.full((kp - K, N), jnp.int32(N * 8))], axis=0)
-    kernel = functools.partial(_stats_fused_kernel, row_spans=row_spans)
+            [okf, jnp.full((kp - K, ln), pad_val)], axis=0)
+    kernel = functools.partial(_stats_fused_kernel, row_spans=row_spans,
+                               sliced_base=sliced_base)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((kp, 128), jnp.int32),
             grid=(kp // GW,),
             in_specs=[
-                pl.BlockSpec((GW, N), lambda i: (i, 0),
+                pl.BlockSpec((GW, ln), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((GW, 128), lambda i: (i, 0),

@@ -59,6 +59,16 @@ from ..ops import template as template_ops
 # experiments/quad_kernels_check.py) and is the default. The quad path
 # itself is selected only when conv_precision == "pallas", i.e. on TPU.
 _QUAD_STATS = os.environ.get("METERELF_QUAD_STATS", "fused")
+_STATS_SLICED = os.environ.get("METERELF_STATS_SLICED", "0") != "0"
+                             # pre-sliced i16 stats feed (span rows
+                             # only, half the bytes) vs the full-window
+                             # dequad. Measured NEUTRAL on the bench
+                             # (69,505 vs 69,682 img/s — inside the
+                             # ±0.7% spread): XLA's dequad copy is
+                             # cheaper than its byte count suggests, so
+                             # the default stays the simpler full
+                             # relayout; knob kept so the result is not
+                             # re-derived.
 
 # frontend/windows composition for the quad path: "split" (separate
 # frontend and window-mask kernels, superwindow round-trips HBM) or
@@ -212,15 +222,37 @@ def _decode_batch(
                         .reshape(B * D, W, W))
 
             if fused_stats:
-                # one dequad total: stats + angle gathers both consume
-                # the flat okey3 raster; contrib/region/masked planes
-                # never materialize
                 from ..ops import pallas_stats
-                okey_f = dequad(okey_q).reshape(B * D, W * W)
-                keymax, hasany_f = pallas_stats.stats_select_fused(
-                    okey_f,
-                    interpret=_QUAD_STATS.endswith("interpret"),
-                    row_spans=static_stats_spans)
+                if static_stats_spans is not None and _STATS_SLICED:
+                    # pre-sliced i16 feed: the stats kernel only reads
+                    # each dial's disk-row span, so slice those rows
+                    # BEFORE the dequad relayout and ship them biased
+                    # i16 — the relayout (the stage's only HBM-bound
+                    # step) moves ~R/64 the rows at half the bytes
+                    spans_u = pallas_stats.uniform_row_spans(
+                        static_stats_spans)
+                    R = spans_u[0][1]
+                    ok16 = ((okey_q - pallas_stats.I16_BIAS)
+                            .astype(jnp.int16))
+                    parts = [
+                        lax.slice(ok16, (0, y0, d * W),
+                                  (B, y0 + R, (d + 1) * W))
+                        for d, (y0, _) in enumerate(spans_u)]
+                    okey_f = jnp.stack(parts, axis=1).reshape(
+                        B * D, R * W)
+                    keymax, hasany_f = pallas_stats.stats_select_fused(
+                        okey_f,
+                        interpret=_QUAD_STATS.endswith("interpret"),
+                        row_spans=static_stats_spans,
+                        sliced_base=spans_u)
+                else:
+                    # full-window flat feed: one dequad relayout; the
+                    # angle gathers consume the quad raster directly
+                    okey_f = dequad(okey_q).reshape(B * D, W * W)
+                    keymax, hasany_f = pallas_stats.stats_select_fused(
+                        okey_f,
+                        interpret=_QUAD_STATS.endswith("interpret"),
+                        row_spans=static_stats_spans)
                 comp = None
             else:
                 okey = dequad(okey_q)

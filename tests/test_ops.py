@@ -622,6 +622,23 @@ def test_fused_stats_chain_matches_xla(density):
     assert np.array_equal(km, np.asarray(km2))
     assert np.array_equal(hasany, np.asarray(hasany2))
 
+    # the pre-sliced i16 feed (uniform-R span rows, biased i16) is
+    # bit-identical as well — the shipping default
+    # (pipeline/decode.py _STATS_SLICED)
+    spans_u = pallas_stats.uniform_row_spans(spans)
+    R = spans_u[0][1]
+    ok16 = ((jnp.asarray(okey_q) - pallas_stats.I16_BIAS)
+            .astype(jnp.int16))
+    parts = [jax.lax.slice(ok16, (0, y0, d * W),
+                           (B, y0 + R, (d + 1) * W))
+             for d, (y0, _) in enumerate(spans_u)]
+    okf = jnp.stack(parts, axis=1).reshape(K, R * W)
+    km3, hasany3 = jax.jit(functools.partial(
+        pallas_stats.stats_select_fused, interpret=interp,
+        row_spans=spans, sliced_base=spans_u))(okf)
+    assert np.array_equal(km, np.asarray(km3))
+    assert np.array_equal(hasany, np.asarray(hasany3))
+
 
 def test_read_dial_from_okey_matches_read_dial(params1):
     """Gather-point region derivation == materialized-region read_dial
