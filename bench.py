@@ -112,6 +112,13 @@ def main() -> None:
     if files:
         check_golden(dec, params, files, crops_c, ok_c, GOLDEN1)
 
+    # mini on-chip kernel fuzz (32 adversarial frames/camera through
+    # Pallas-vs-XLA equality, the tests/test_tpu_fuzz.py core) BEFORE
+    # timing: off-corpus kernel insurance captured in every driver run;
+    # the full opt-in campaign (METERELF_TEST_TPU=1, N>=256) stays for
+    # depth
+    onchip_fuzz = onchip_fuzz_mini()
+
     value = replay_rate(dec, crops_c, ok_c)
 
     e2e = end_to_end_rate(dec, params, files) if files else None
@@ -121,6 +128,7 @@ def main() -> None:
         "value": round(value, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(value / BASELINE_TARGET, 3),
+        "onchip_fuzz": onchip_fuzz,
     }
     if e2e is not None:
         e2e_rate, host_rate = e2e
@@ -142,6 +150,13 @@ def main() -> None:
         # (VERDICT r3 weak #6: report both, the second is the production
         # feed burden)
         record["host_feed_cores_per_chip"] = round(value / per_core, 1)
+        # golden-gate the COEFFICIENT feed before timing it: all 81
+        # rendered lines from the production path (host entropy decode +
+        # device JPEG back-half) must be byte-identical to the golden
+        # stdout — the path device_rate_with_backhalf times is thereby
+        # parity-proven in the same driver-captured run
+        check_golden_coef(dec, params, files, GOLDEN1)
+        record["golden_coef"] = True
         bh_rate = device_rate_with_backhalf(dec, params, files)
         record["device_incl_jpeg_backhalf_img_s"] = round(bh_rate, 1)
         record["host_feed_cores_per_chip_backhalf"] = round(
@@ -155,6 +170,8 @@ def main() -> None:
         dec2 = MeterDecoder(params2, exact=True)
         crops2, ok2 = load_packed(dec2, params2, files2, jio)
         check_golden(dec2, params2, files2, crops2, ok2, GOLDEN2)
+        check_golden_coef(dec2, params2, files2, GOLDEN2)
+        record["golden_coef_camera2"] = True
         record["camera2_img_s"] = round(replay_rate(dec2, crops2, ok2), 1)
         # since the round-4 tail generalization (in-kernel roll +
         # zero-fill + lane pad) camera 2's oy=14 / lw=240 window rides
@@ -207,6 +224,87 @@ def check_golden(dec, params, files, crops_c, ok_c, golden_path):
     assert len(got) == len(golden) and not bad, (
         f"{len(bad)} of {len(got)} rendered lines diverge from "
         f"{golden_path} — not benching a wrong pipeline; first: "
+        f"{bad[0] if bad else (len(got), len(golden))}")
+
+
+def onchip_fuzz_mini(n: int = 32) -> str:
+    """32 adversarial frames per camera through full-Pallas vs XLA
+    decode equality (bit-identical err/locations/positions/values) —
+    the tests/test_tpu_fuzz.py core at small N, run inside every bench
+    so off-corpus kernel insurance is driver-captured per round.
+    Returns "pass" or "skipped (<platform>)" (the gate needs the real
+    chip; compiled Pallas is TPU-only)."""
+    import tempfile
+
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        return f"skipped ({jax.devices()[0].platform})"
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from fuzz_frames import assert_results_equal, fuzz_frames
+    from meterelf_tpu import synthetic
+    from meterelf_tpu.pipeline.decode import MeterDecoder
+
+    for name, camera in (("default", synthetic.DEFAULT_CAMERA),
+                         ("alt", synthetic.ALT_CAMERA)):
+        params = camera.make_params(tempfile.mkdtemp())
+        frames = fuzz_frames(camera, n, seed=11)
+        (x0, y0), (x1, y1) = camera.meter_rect
+        crops = np.stack([f[y0:y1, x0:x1] for f in frames])
+        res_p = MeterDecoder(
+            params, exact=True,
+            conv_precision="pallas").decode_numpy(crops)
+        res_x = MeterDecoder(
+            params, exact=True,
+            conv_precision="matmul").decode_numpy(crops)
+        assert_results_equal(res_p, res_x, f"mini-fuzz {name}")
+    return "pass"
+
+
+def check_golden_coef(dec, params, files, golden_path,
+                      frame_wh=(480, 640)) -> None:
+    """Render EVERY output line from the COEFFICIENT feed — host
+    entropy decode + device JPEG back-half (fused Pallas tail where the
+    geometry gate admits it) — and require byte-equality with the
+    golden stdout. This is the path device_rate_with_backhalf times;
+    gating it here makes the production feed's parity proof
+    driver-captured every round instead of builder-run once.
+    Reference analog: the golden-stdout integration gate,
+    /root/reference/integration-tests/test_all_sample_images:17-33."""
+    import jax
+    from meterelf_tpu.api import result_to_data
+    from meterelf_tpu.cli import format_result
+    from meterelf_tpu.io import jpeg as jio
+    from meterelf_tpu.pipeline.decode import make_coef_decode_fn
+
+    step, _win, pad_hw = make_coef_decode_fn(dec, frame_wh)
+    datas = [open(f, "rb").read() for f in files]
+    n = len(datas)
+    chunk_n = 128
+    res = None
+    for i0 in range(0, n, chunk_n):
+        chunk = datas[i0:i0 + chunk_n]
+        chunk = chunk + [chunk[-1]] * (chunk_n - len(chunk))
+        feed = jio.load_coef_feed(
+            chunk, params.meter_rect, frame_wh, pad_hw,
+            num_threads=os.cpu_count() or 1)
+        rc = jax.tree.map(np.asarray, step(dec.param_arrays, *feed))
+        res = rc if res is None else type(rc)(
+            *[np.concatenate([a, b]) for a, b in zip(res, rc)])
+    res = type(res)(*[a[:n] for a in res])
+    golden = open(golden_path).read().splitlines()
+    got = [
+        format_result(
+            result_to_data(f, res, i, params)
+            ._replace(filename=os.path.basename(f)))
+        for i, f in enumerate(files)
+    ]
+    bad = [(g, e) for g, e in zip(got, golden) if g != e]
+    assert len(got) == len(golden) and not bad, (
+        f"coefficient feed: {len(bad)} of {len(got)} rendered lines "
+        f"diverge from {golden_path} — not benching an off-parity "
+        f"production path; first: "
         f"{bad[0] if bad else (len(got), len(golden))}")
 
 

@@ -223,7 +223,14 @@ def _decode_batch(
 
             if fused_stats:
                 from ..ops import pallas_stats
-                if static_stats_spans is not None and _STATS_SLICED:
+                if (static_stats_spans is not None and _STATS_SLICED
+                        and pallas_stats.GW
+                        % len(static_stats_spans) == 0):
+                    # (the GW-divisibility gate mirrors the non-sliced
+                    # fallback: a METERELF_STATS_GW override that does
+                    # not divide by the dial count falls back to the
+                    # full-window feed instead of tripping the kernel's
+                    # trace-time assert)
                     # pre-sliced i16 feed: the stats kernel only reads
                     # each dial's disk-row span, so slice those rows
                     # BEFORE the dequad relayout and ship them biased

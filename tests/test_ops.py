@@ -623,8 +623,8 @@ def test_fused_stats_chain_matches_xla(density):
     assert np.array_equal(hasany, np.asarray(hasany2))
 
     # the pre-sliced i16 feed (uniform-R span rows, biased i16) is
-    # bit-identical as well — the shipping default
-    # (pipeline/decode.py _STATS_SLICED)
+    # bit-identical as well — the knob-gated alternate feed
+    # (pipeline/decode.py _STATS_SLICED, default off; measured neutral)
     spans_u = pallas_stats.uniform_row_spans(spans)
     R = spans_u[0][1]
     ok16 = ((jnp.asarray(okey_q) - pallas_stats.I16_BIAS)

@@ -76,41 +76,9 @@ def _decode_chunked(dec, crops, ok=None):
 
 
 def _assert_results_equal(a, b, label):
-    """Bit-identical decode semantics: error codes, locations, per-dial
-    positions, readability, values. match_val may differ in f32 rounding
-    between score formulations (documented); its THRESHOLD DECISION is
-    part of err and argmax is pinned via match_x/match_y."""
-    from meterelf_tpu.errors import ErrCode
+    from fuzz_frames import assert_results_equal
 
-    np.testing.assert_array_equal(a.err, b.err, err_msg=f"{label}: err")
-    np.testing.assert_array_equal(a.match_x, b.match_x,
-                                  err_msg=f"{label}: match_x")
-    np.testing.assert_array_equal(a.match_y, b.match_y,
-                                  err_msg=f"{label}: match_y")
-    np.testing.assert_array_equal(a.readable, b.readable,
-                                  err_msg=f"{label}: readable")
-    # positions: bitwise where the dial read (unreadable slots carry
-    # an unconsumed placeholder)
-    rd = a.readable
-    np.testing.assert_array_equal(
-        np.where(rd, a.dial_pos, 0), np.where(rd, b.dial_pos, 0),
-        err_msg=f"{label}: dial_pos")
-    okrow = a.err == int(ErrCode.OK)
-    np.testing.assert_array_equal(
-        np.where(okrow, a.value, 0), np.where(okrow, b.value, 0),
-        err_msg=f"{label}: value")
-    nc = a.err == int(ErrCode.NEEDLE_CONTOURS)
-    np.testing.assert_array_equal(
-        np.where(nc, a.first_bad_dial, 0),
-        np.where(nc, b.first_bad_dial, 0),
-        err_msg=f"{label}: first_bad_dial")
-    da = a.err == int(ErrCode.DIAL_ANGLE)
-    np.testing.assert_array_equal(
-        np.where(da, a.unreadable_bits, 0),
-        np.where(da, b.unreadable_bits, 0),
-        err_msg=f"{label}: unreadable_bits")
-    assert np.allclose(a.match_val, b.match_val, rtol=1e-4), (
-        f"{label}: match_val drifted beyond f32 formulation noise")
+    assert_results_equal(a, b, label)
 
 
 def test_pallas_path_matches_xla_path_on_chip(camera_setup):
