@@ -10,6 +10,7 @@ the device, so the jitted graph always sees static shapes.
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -357,6 +358,34 @@ def load_crop_bytes_u8(
     return out, ok_out
 
 
+_ARENA: dict = {}
+_ARENA_ON = os.environ.get("METERELF_FEED_ARENA", "1") != "0"
+
+
+def _arena(key: Tuple[str, tuple], dtype) -> np.ndarray:
+    """Reused output buffer for the coefficient feed (double-buffered).
+
+    Fresh np.zeros per batch costs ~45 us/frame in first-touch page
+    faults at the feed's array sizes (~400 KB/frame) — measured +10%
+    on the host entropy rate when the buffers persist. Two slots
+    rotate per (name, shape), honoring the feed contract that at most
+    ONE prior batch may still be in flight (the async device_put of
+    the previous chunk) when the next one is assembled. Contents are
+    NOT zeroed — the decoder writes every window block of every ok
+    frame, and read_coefs_batch explicitly zeroes failed frames'
+    slots. METERELF_FEED_ARENA=0 restores fresh allocations."""
+    name, shape = key
+    if not _ARENA_ON:
+        return np.zeros(shape, dtype)
+    slot = _ARENA.get(name)
+    if slot is None or slot[0][0].shape != tuple(shape):
+        slot = ([np.zeros(shape, dtype), np.zeros(shape, dtype)], [0])
+        _ARENA[name] = slot
+    bufs, idx = slot
+    idx[0] ^= 1
+    return bufs[idx[0]]
+
+
 def read_coefs_batch(
     datas: Sequence[bytes],
     win: "CoefWindow",         # ops.jpegdec.CoefWindow (host pytree)
@@ -387,10 +416,10 @@ def read_coefs_batch(
     else:
         yshape = (n, nby, 64)
         cshape = (n, nby // 4, 64)
-    coef_y = np.zeros(yshape, np.int16)
-    coef_cb = np.zeros(cshape, np.int16)
-    coef_cr = np.zeros(cshape, np.int16)
-    qt = np.zeros((n, 3, 64), np.uint16)
+    coef_y = _arena(("cy", yshape), np.int16)
+    coef_cb = _arena(("cb", cshape), np.int16)
+    coef_cr = _arena(("cr", cshape), np.int16)
+    qt = _arena(("qt", (n, 3, 64)), np.uint16)
     ok = np.zeros(n, np.int32)
     arr_ptrs = (ctypes.c_char_p * n)(*datas)
     arr_sizes = (ctypes.c_ulong * n)(*[len(d) for d in datas])
@@ -403,6 +432,14 @@ def read_coefs_batch(
         coef_cr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         qt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads)
+    for i in np.nonzero(ok != 0)[0]:
+        # failed frames keep DETERMINISTIC zeroed slots (the reused
+        # arena buffers would otherwise leak the previous batch's
+        # coefficients into rows the fallback path later overrides)
+        coef_y[i] = 0
+        coef_cb[i] = 0
+        coef_cr[i] = 0
+        qt[i] = 0
     return coef_y, coef_cb, coef_cr, qt, ok == 0
 
 

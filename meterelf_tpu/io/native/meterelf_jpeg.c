@@ -939,14 +939,61 @@ typedef struct {
     uint8_t sym;
 } mej_hlut;
 
+/* Multi-symbol AC table: ONE 10-bit peek resolves up to TWO
+ * coefficients — Huffman code(s) plus appended value bits — when they
+ * fit the window. Corpus stats (quality-92 webcam frames): 65% of AC
+ * coefficients are followed by another short coefficient and 77% of
+ * EOBs directly follow a short coefficient, so most hot-loop
+ * iterations retire two symbols from a single table load. The 10-bit
+ * key keeps the table at 8 KB (1024 x 8 B) — the same L1 footprint as
+ * the single-symbol 12-bit table it replaces; a 12-bit x 8 B variant
+ * measured SLOWER (32 KB/table thrashes L1 against the second
+ * component's table and the stream data).
+ *
+ * Measured design notes (v5e host VM, corpus A/B, ~+-8% machine
+ * noise): fusing a trailing EOB into the coefficient's entry (77% of
+ * EOBs follow a short coefficient) is at-or-slightly-above parity and
+ * retires the block's final two symbols in one load; full
+ * (coef, coef) pairing — 65% of coefficients pair-fit — was tried in
+ * two forms (per-kind branch chain, fully branchless masked stores)
+ * and measured 15-20% SLOWER than the single-symbol loop despite 31%
+ * fewer iterations: the extra per-iteration machinery loses more than
+ * the saved table-load trips on this core. Kept single-symbol + EOB
+ * fusion.
+ *
+ * u64 entry layout:
+ *   bits 0-5   nb     total bits consumed, value bits and any fused
+ *                     EOB included (0 = full escape to peekdec)
+ *   bits 6-7   kd     0 coefficient/EOB, 1 ZRL, 2 coef code resolved
+ *                     with value bits pending (v1 = size, nb = len)
+ *   bit  8     brk    end of block after this entry (bare EOB, or a
+ *                     coefficient with the following EOB fused in)
+ *   bit  9     st1    store v1 (0 = bare EOB)
+ *   bits 10-15 r1     zero run before the coefficient
+ *   bits 16-21 nb1    bits of the coefficient alone — a fused-EOB
+ *                     entry demotes to this when the coefficient lands
+ *                     on index 63 (the block ends there; the EOB code
+ *                     in the entry belongs to the next block)
+ *   bits 40-51 v1    (12-bit signed; |coef| <= 1023 for size <= 10) */
 typedef struct {
     mej_hlut lut[4096];       /* first 12 bits -> (len, symbol) */
+    uint64_t lutp[1024];      /* first 10 bits -> up to 2 coefficients */
     int32_t maxcode[17];      /* per length; -1 when no codes */
     int32_t mincode[17];
     int32_t valptr[17];
     uint8_t huffval[256];
     int valid;
 } mej_htbl;
+
+static inline int mej_extend(uint32_t v, int s)
+{
+    /* branchless sign extension (jdhuff HUFF_EXTEND semantics): the
+     * top bit of the s received bits decides positive vs negative, a
+     * ~50/50 data-dependent branch the predictor cannot learn — the
+     * arithmetic form is measurably faster in the hot loop */
+    int32_t neg = (int32_t)(v >> (s - 1)) - 1;   /* 0 or -1 */
+    return (int32_t)v + (neg & (1 - (1 << s)));
+}
 
 static int mej_htbl_build(mej_htbl *t, const uint8_t counts[16],
                           const uint8_t *symbols, int nsym)
@@ -976,8 +1023,111 @@ static int mej_htbl_build(mej_htbl *t, const uint8_t counts[16],
         t->maxcode[l] = counts[l - 1] ? code - 1 : -1;
         code <<= 1;
     }
+    /* second pass: the pair table (interpreting sym as (r,s); built
+     * unconditionally — DC decode never consults lutp). The per-thread
+     * table cache amortizes this across a stream batch: webcam feeds
+     * reuse identical DHT definitions, so each distinct table is built
+     * once per thread, not once per image. */
+    memset(t->lutp, 0, sizeof(t->lutp));
+    for (int key = 0; key < 1024; key++) {
+        /* decode the symbol from the top of the 10-bit window via the
+         * 12-bit lut (bottom 2 bits zero-padded) */
+        mej_hlut e1 = t->lut[key << 2];
+        if (!e1.len || e1.len > 10)
+            continue;               /* full escape */
+        int r1 = e1.sym >> 4, sz1 = e1.sym & 15;
+        if (sz1 == 0) {
+            if (r1 == 15)           /* ZRL */
+                t->lutp[key] = (uint64_t)e1.len | (1ull << 6);
+            else                    /* bare EOB */
+                t->lutp[key] = (uint64_t)e1.len | (1ull << 8);
+            continue;
+        }
+        if (e1.len + sz1 > 10) {    /* code resolved, value pending */
+            t->lutp[key] = (uint64_t)e1.len | (2ull << 6)
+                           | ((uint64_t)r1 << 10)
+                           | ((uint64_t)(sz1 & 0xFFF) << 40);
+            continue;
+        }
+        int nb1 = e1.len + sz1;
+        uint32_t vbits1 = ((uint32_t)key >> (10 - nb1))
+                          & ((1u << sz1) - 1);
+        int v1 = mej_extend(vbits1, sz1);
+        uint64_t ent = (uint64_t)nb1
+                       | (1ull << 9) | ((uint64_t)r1 << 10)
+                       | ((uint64_t)nb1 << 16)
+                       | ((uint64_t)(v1 & 0xFFF) << 40);
+        /* fuse a directly-following EOB when its code fits the
+         * remaining window bits (77% of corpus EOBs do) */
+        int rem = 10 - nb1;
+        if (rem >= 2) {
+            int key2 = ((key << nb1) & 1023) << 2;    /* re-aligned */
+            mej_hlut e2 = t->lut[key2];
+            if (e2.len && e2.len <= rem
+                && (e2.sym & 15) == 0 && (e2.sym >> 4) != 15)
+                ent = (ent & ~63ull) | (uint64_t)(nb1 + e2.len)
+                      | (1ull << 8);
+        }
+        t->lutp[key] = ent;
+    }
     t->valid = 1;
     return 0;
+}
+
+/* Per-thread Huffman-table cache. Building the widened LUTs costs
+ * ~8 us/table; a camera stream reuses identical DHT payloads frame
+ * after frame, so cache built tables keyed by an FNV-1a hash of the
+ * raw definition. Per-thread (the batch decoder is pthreaded), and
+ * slots claimed by the CURRENT stream are never evicted within it
+ * (generation counter), so table pointers stay valid across the whole
+ * entropy scan. 12 slots >> the 8 baseline table ids. */
+typedef struct {
+    uint64_t hash;
+    uint32_t gen;                 /* stream generation that claimed it */
+    int used;
+    mej_htbl tbl;
+} mej_tslot;
+
+static __thread mej_tslot mej_tcache[12];
+static __thread uint32_t mej_tgen;
+static __thread int mej_tvictim;
+
+static uint64_t mej_thash(const uint8_t counts[16], const uint8_t *syms,
+                          int nsym)
+{
+    uint64_t h = 1469598103934665603ull;
+    for (int i = 0; i < 16; i++)
+        h = (h ^ counts[i]) * 1099511628211ull;
+    for (int i = 0; i < nsym; i++)
+        h = (h ^ syms[i]) * 1099511628211ull;
+    h = (h ^ (uint64_t)nsym) * 1099511628211ull;
+    return h | 1;                 /* 0 marks an empty slot */
+}
+
+static const mej_htbl *mej_htbl_cached(const uint8_t counts[16],
+                                       const uint8_t *syms, int nsym)
+{
+    uint64_t h = mej_thash(counts, syms, nsym);
+    for (int i = 0; i < 12; i++)
+        if (mej_tcache[i].used && mej_tcache[i].hash == h) {
+            mej_tcache[i].gen = mej_tgen;
+            return &mej_tcache[i].tbl;
+        }
+    for (int tries = 0; tries < 12; tries++) {
+        mej_tslot *s = &mej_tcache[mej_tvictim];
+        mej_tvictim = (mej_tvictim + 1) % 12;
+        if (s->used && s->gen == mej_tgen)
+            continue;             /* claimed by the current stream */
+        if (mej_htbl_build(&s->tbl, counts, syms, nsym)) {
+            s->used = 0;
+            return NULL;
+        }
+        s->hash = h;
+        s->gen = mej_tgen;
+        s->used = 1;
+        return &s->tbl;
+    }
+    return NULL;                  /* all slots claimed (cannot happen) */
 }
 
 typedef struct {
@@ -1032,16 +1182,6 @@ static void mej_br_fill(mej_br *b)
     }
 }
 
-static inline int mej_extend(uint32_t v, int s)
-{
-    /* branchless sign extension (jdhuff HUFF_EXTEND semantics): the
-     * top bit of the s received bits decides positive vs negative, a
-     * ~50/50 data-dependent branch the predictor cannot learn — the
-     * arithmetic form is measurably faster in the hot loop */
-    int32_t neg = (int32_t)(v >> (s - 1)) - 1;   /* 0 or -1 */
-    return (int32_t)v + (neg & (1 - (1 << s)));
-}
-
 /* Decode the next Huffman code from the (already filled) buffer.
  * Returns the symbol and stores the code length, or -1 on fault. The
  * buffer's unfilled low bits are zero, so peeks are naturally
@@ -1078,9 +1218,10 @@ static inline int mej_peekdec(mej_br *b, const mej_htbl *t, int *len)
  * Huffman code (<=16 bits) and its value bits (<=15), decoded from a
  * single top-aligned peek. */
 static int mej_fast_block(mej_br *br, const mej_htbl *dc,
-                          const mej_htbl *ac, int *pred, int16_t *out,
+                          const mej_htbl *ac, int *pred, int16_t *outp,
                           int rstride)
 {
+    int16_t *const out = outp;
     if (out) {
         if (rstride == 8) {
             memset(out, 0, 64 * sizeof(int16_t));
@@ -1090,39 +1231,111 @@ static int mej_fast_block(mej_br *br, const mej_htbl *dc,
         }
     }
     int len;
-    if (br->n < 32)
-        mej_br_fill(br);
+    /* The bit reader lives in LOCALS across the loop: the coefficient
+     * stores go through computed pointers the compiler must assume may
+     * alias *br, so keeping acc/n in br-> forces a reload on the
+     * decode's critical dependency chain every iteration. Synced back
+     * around refills and at every exit. */
+    uint64_t acc = br->acc;
+    int n = br->n;
+#define MEJ_SYNC_OUT() (br->acc = acc, br->n = n)
+#define MEJ_REFILL() \
+    do { if (n < 32) { MEJ_SYNC_OUT(); mej_br_fill(br); \
+         acc = br->acc; n = br->n; } } while (0)
+
+    MEJ_REFILL();
+    MEJ_SYNC_OUT();               /* peekdec reads br->acc */
     int s = mej_peekdec(br, dc, &len);
     if (s < 0 || s > 15)
         return -1;
     if (s) {
-        if (len + s > br->n)
+        if (len + s > n)
             return -1;
-        uint32_t v = (uint32_t)((br->acc << len) >> (64 - s));
-        br->acc <<= len + s;
-        br->n -= len + s;
+        uint32_t v = (uint32_t)((acc << len) >> (64 - s));
+        acc <<= len + s;
+        n -= len + s;
         *pred += mej_extend(v, s);
     } else {
-        if (len > br->n)
+        if (len > n)
             return -1;
-        br->acc <<= len;
-        br->n -= len;
+        acc <<= len;
+        n -= len;
     }
     if (out)
         out[0] = (int16_t)*pred;
     int k = 1;
     while (k < 64) {
-        if (br->n < 32)
-            mej_br_fill(br);
+        MEJ_REFILL();
+        /* multi-symbol fast path: one 10-bit peek resolves up to TWO
+         * coefficients (codes AND value bits) per table load, through
+         * ONE branch-unified sequence — see the mej_htbl lutp layout
+         * comment for why the kinds are merged */
+        uint64_t e = ac->lutp[(uint32_t)(acc >> 54)];
+        unsigned nb = (unsigned)e & 63;
+        if (nb) {
+            unsigned kd = ((unsigned)e >> 6) & 3;
+            int k1 = k + (int)((e >> 10) & 63);
+            if (kd) {
+                if (kd == 1) {                /* ZRL (~0.004%) */
+                    if ((int)nb > n)
+                        return -1;
+                    acc <<= nb;
+                    n -= (int)nb;
+                    k += 16;
+                    continue;
+                }
+                /* value bits pending: code resolved, size in v1 */
+                int sz2 = (int)((e >> 40) & 0xFFF);
+                if ((int)nb + sz2 > n)
+                    return -1;
+                if (k1 > 63)
+                    return -1;    /* bogus run: let libjpeg deal */
+                uint32_t v = (uint32_t)((acc << nb) >> (64 - sz2));
+                acc <<= nb + sz2;
+                n -= (int)nb + sz2;
+                if (out) {
+                    int no = jpeg_natural_order[k1];
+                    out[(no >> 3) * (size_t)rstride + (no & 7)] =
+                        (int16_t)mej_extend(v, sz2);
+                }
+                k = k1 + 1;
+                continue;
+            }
+            if ((e & (3ull << 8)) == (3ull << 8) && k1 >= 63)
+                /* a FUSED entry whose coefficient lands on index 63:
+                 * the block ends there, so the fused EOB code belongs
+                 * to the NEXT block — consume the coefficient's bits
+                 * only (st1 required: a bare EOB at k == 63 must keep
+                 * its own length) */
+                nb = (unsigned)(e >> 16) & 63;
+            if ((int)nb > n)
+                return -1;
+            acc <<= nb;
+            n -= (int)nb;
+            if (!(e & (1ull << 9)))
+                break;                        /* bare EOB */
+            if (k1 > 63)
+                return -1;        /* bogus run: let libjpeg deal */
+            if (out) {
+                int no = jpeg_natural_order[k1];
+                out[(no >> 3) * (size_t)rstride + (no & 7)] =
+                    (int16_t)((int64_t)(e << 12) >> 52);
+            }
+            if (e & (1ull << 8))
+                break;                        /* fused (coef, EOB) */
+            k = k1 + 1;
+            continue;
+        }
+        MEJ_SYNC_OUT();
         int rs = mej_peekdec(br, ac, &len);
         if (rs < 0)
             return -1;
         int r = rs >> 4, sz = rs & 15;
         if (sz == 0) {
-            if (len > br->n)
+            if (len > n)
                 return -1;
-            br->acc <<= len;
-            br->n -= len;
+            acc <<= len;
+            n -= len;
             if (r != 15)
                 break;            /* EOB */
             k += 16;
@@ -1130,11 +1343,11 @@ static int mej_fast_block(mej_br *br, const mej_htbl *dc,
             k += r;
             if (k > 63)
                 return -1;        /* bogus run: let libjpeg deal */
-            if (len + sz > br->n)
+            if (len + sz > n)
                 return -1;
-            uint32_t v = (uint32_t)((br->acc << len) >> (64 - sz));
-            br->acc <<= len + sz;
-            br->n -= len + sz;
+            uint32_t v = (uint32_t)((acc << len) >> (64 - sz));
+            acc <<= len + sz;
+            n -= len + sz;
             if (out) {
                 int no = jpeg_natural_order[k];
                 out[(no >> 3) * (size_t)rstride + (no & 7)] =
@@ -1143,6 +1356,9 @@ static int mej_fast_block(mej_br *br, const mej_htbl *dc,
             k++;
         }
     }
+    MEJ_SYNC_OUT();
+#undef MEJ_REFILL
+#undef MEJ_SYNC_OUT
     return 0;
 }
 
@@ -1173,7 +1389,7 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
     const uint8_t *p = data, *end = data + size;
     uint16_t qtab[4][64];
     int qdef[4] = {0, 0, 0, 0};
-    mej_htbl dctbl[4], actbl[4];
+    const mej_htbl *dctbl[4], *actbl[4];
     int w = 0, h = 0, ncomp = 0, dri = 0;
     int comp_tq[3] = {0, 0, 0}, comp_id[3] = {0, 0, 0};
     int comp_dc[3] = {0, 0, 0}, comp_ac[3] = {0, 0, 0};
@@ -1181,6 +1397,7 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
     int saw_jfif = 0, saw_adobe = 0, adobe_transform = 0;
     memset(dctbl, 0, sizeof(dctbl));
     memset(actbl, 0, sizeof(actbl));
+    mej_tgen++;                 /* new stream: un-claim cached tables */
 
     if (size < 4 || p[0] != 0xFF || p[1] != 0xD8)
         return -1;
@@ -1247,9 +1464,13 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
                 q += 17;
                 if (qend - q < nsym || nsym > 256)
                     return -1;
-                mej_htbl *t = tc ? &actbl[th] : &dctbl[th];
-                if (mej_htbl_build(t, counts, q, nsym))
+                const mej_htbl *t = mej_htbl_cached(counts, q, nsym);
+                if (!t)
                     return -1;
+                if (tc)
+                    actbl[th] = t;
+                else
+                    dctbl[th] = t;
                 q += nsym;
             }
         } else if (m == 0xDB) {                  /* DQT */
@@ -1336,8 +1557,8 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
         || cbx0 + cbw > cbw_img || cby0 + cbh > cbh_img)
         return -1;
     for (int c = 0; c < 3; c++) {
-        if (!qdef[comp_tq[c]] || !dctbl[comp_dc[c]].valid
-            || !actbl[comp_ac[c]].valid)
+        if (!qdef[comp_tq[c]] || !dctbl[comp_dc[c]]
+            || !actbl[comp_ac[c]])
             return -1;
         for (int i = 0; i < 64; i++)
             qt[c * 64 + i] = qtab[comp_tq[c]][i];
@@ -1356,9 +1577,9 @@ static int mej_fast_coefs(const unsigned char *data, unsigned long size,
         stop_imcu = mcuy;
     int pred[3] = {0, 0, 0};
     int togo = dri, rstn = 0;
-    const mej_htbl *ydc = &dctbl[comp_dc[0]], *yac = &actbl[comp_ac[0]];
-    const mej_htbl *bdc = &dctbl[comp_dc[1]], *bac = &actbl[comp_ac[1]];
-    const mej_htbl *rdc = &dctbl[comp_dc[2]], *rac = &actbl[comp_ac[2]];
+    const mej_htbl *ydc = dctbl[comp_dc[0]], *yac = actbl[comp_ac[0]];
+    const mej_htbl *bdc = dctbl[comp_dc[1]], *bac = actbl[comp_ac[1]];
+    const mej_htbl *rdc = dctbl[comp_dc[2]], *rac = actbl[comp_ac[2]];
 
     for (int my = 0; my < stop_imcu; my++) {
         for (int mx = 0; mx < mcux; mx++) {
