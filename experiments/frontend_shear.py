@@ -116,7 +116,17 @@ def shear_core(img_ref, bank_ref, c1_ref, corr_ref, geom, jg, ng):
             preferred_element_type=i32)          # [xg*ng, 256] i32
         for d in range(min(g.xg, g.ow - x32)):
             blk = rx[d * ng:(d + 1) * ng, :]     # [ng, 256]
-            rr = pltpu.roll(blk, 0, 1, stride=jg, stride_axis=0)
+            # row r needs a lane roll by jg*r; tpu.dynamic_rotate only
+            # honors stride=1 (stride=jg is silently a no-op on real
+            # hardware — experiments/shear_probe.py), so decompose into
+            # log2(ng) masked power-of-two rolls selected by r's bits
+            rr = blk
+            rid = lax.broadcasted_iota(jnp.int32, (ng, STAGE), 0)
+            b = 1
+            while b < ng:
+                rolled = pltpu.roll(rr, jg * b, 1)
+                rr = jnp.where((rid & b) != 0, rolled, rr)
+                b *= 2
             corr_ref[x32 + d, :] = jnp.sum(rr, axis=0)
     corrT_raw = corr_ref[...][0:g.ow, :]
     # group form lands corr[y] at lane y + jg*(ng-1)
@@ -191,10 +201,14 @@ def run_shear(pk, jg, ng):
 
 
 def run_base(pk):
-    with jax.enable_x64(False):
-        mv, mx, my, sw = fe.frontend_pallas(
-            pk, jnp.asarray(pa.template_u8), tmean,
-            crop_hw=(params.meter_rect.height, params.meter_rect.width))
+    # NOTE: no enable_x64(False) wrapper here — frontend_pallas scopes
+    # it internally around the pallas trace only; wrapping the WHOLE
+    # call truncates _c1_for's f64 c0-residual to f32 and shifts every
+    # score by ~7 (a harness artifact that masqueraded as a kernel
+    # mismatch for one full debugging round)
+    mv, mx, my, sw = fe.frontend_pallas(
+        pk, jnp.asarray(pa.template_u8), tmean,
+        crop_hw=(params.meter_rect.height, params.meter_rect.width))
     return sw, mv, mx, my
 
 
@@ -210,13 +224,27 @@ if __name__ == "__main__":
     for jg, ng in ((16, 8), (8, 16)):
         sw1, st1 = jax.jit(
             functools.partial(run_shear, jg=jg, ng=ng))(packed)
-        ok_corpus = (
-            bool((np.asarray(sw0) == np.asarray(sw1)).all())
-            and bool((np.asarray(mv0) == np.asarray(st1[:, 0, 0])).all())
-            and bool((np.asarray(mx0) == np.asarray(
-                st1[:, 0, 1].astype(np.int32))).all())
-            and bool((np.asarray(my0) == np.asarray(
-                st1[:, 0, 2].astype(np.int32))).all()))
+        c_sw = bool((np.asarray(sw0) == np.asarray(sw1)).all())
+        c_mv = bool((np.asarray(mv0) == np.asarray(st1[:, 0, 0])).all())
+        c_mx = bool((np.asarray(mx0) == np.asarray(
+            st1[:, 0, 1].astype(np.int32))).all())
+        c_my = bool((np.asarray(my0) == np.asarray(
+            st1[:, 0, 2].astype(np.int32))).all())
+        print(f"  jg={jg}: sw={c_sw} mv={c_mv} mx={c_mx} my={c_my}")
+        if not c_mv:
+            a = np.asarray(mv0)
+            b = np.asarray(st1[:, 0, 0])
+            bad = np.nonzero(a != b)[0]
+            print(f"    mv diverges on {len(bad)}/{len(a)} images; "
+                  f"first: img {bad[0]} base {a[bad[0]]} "
+                  f"shear {b[bad[0]]}")
+        if not c_mx:
+            a = np.asarray(mx0)
+            b = np.asarray(st1[:, 0, 1].astype(np.int32))
+            bad = np.nonzero(a != b)[0]
+            print(f"    mx diverges on {len(bad)} images; first: "
+                  f"img {bad[0]} base {a[bad[0]]} shear {b[bad[0]]}")
+        ok_corpus = c_sw and c_mv and c_mx and c_my
         swr1, str1 = jax.jit(
             functools.partial(run_shear, jg=jg, ng=ng))(rand)
         ok_rand = (

@@ -72,6 +72,25 @@ BANK_M = 3840  # (flagship) 32 column-shifted template copies x 120 rows
 BANK_K = 224   # (flagship) template cols 188 + 31 shifts <= 219, 32-aligned
 BLK = 120      # (flagship) rows per copy: 119 real + 1 pad (8-aligned
                # slices, strided-rotate spread 119 < 128)
+SHEAR = os.environ.get("METERELF_FE_SHEAR", "1") != "0"
+               # round-5 partial-shear correlation (on by default):
+               # the right operand is sheared by j in [0, JG) lanes
+               # (JG lane-rolled copies via the 4-sublane-packed i32
+               # bitcast — Mosaic only rotates 32-bit data) and the
+               # bank contracts over (j, c), so each bank row holds a
+               # GROUP of JG template rows and the matmul emits
+               # group-partial diagonal sums already y-aligned within
+               # the group. The per-column VPU epilogue shrinks from a
+               # [blk~120, 256] strided-roll+sum to an [NG=8, 256]
+               # masked log-shift roll (tpu.dynamic_rotate only honors
+               # stride=1 — a stride=JG roll is silently a no-op on
+               # real hardware, experiments/shear_probe.py) + an 8-row
+               # sum. Bit-identical on corpus + random frames, kernel
+               # 3.03 -> 2.84 ms/256 incl. the ~1.9 ms harness floor
+               # (experiments/frontend_shear.py, v5e 2026-08-21).
+JG = 16        # shear width (template rows per bank group)
+NG = 8         # groups per column; JG*NG = 128 >= th (th <= 128 is
+               # already a kernel family constraint via blk <= 128)
 XG = int(os.environ.get("METERELF_FE_XG", "32"))
                # correlation x-group size: template-copy column shifts
                # per matmul. 32 amortizes K=224 tiles over wide groups;
@@ -224,20 +243,52 @@ def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref, geom):
 
     for x32 in range(0, g.nx * g.xg, g.xg):
         sl = lt8[x32:x32 + g.bank_k, :]
-        rx = lax.dot_general(
-            bank, sl,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=i32)             # [xg*blk, STAGE] i32
-        for d in range(min(g.xg, g.ow - x32)):
-            blk = rx[d * g.blk:(d + 1) * g.blk, :]
-            # corr[y, x32+d] = sum_s blk[s, y + th-1 - s]: one strided
-            # rotate (shift_s = s) + sublane sum; output lane y + th-1.
-            # Rows land in a VMEM scratch ref — a 64-way concat of
-            # single-row vregs would repack 7/8-empty tiles instead.
-            rr = pltpu.roll(blk, 0, 1, stride=1, stride_axis=0)
-            corr_ref[x32 + d, :] = jnp.sum(rr, axis=0)
+        if SHEAR:
+            # sheared right operand: block j holds sl lane-rolled left
+            # by j (j32 bitcast: Mosaic only rotates 32-bit data; lane
+            # rolls of the 4-sublane-packed view shift every i8 row)
+            w = pltpu.bitcast(sl, jnp.int32)     # [bank_k//4, 256]
+            sh = jnp.concatenate(
+                [sl] + [pltpu.bitcast(pltpu.roll(w, STAGE - j, 1),
+                                      jnp.int8)
+                        for j in range(1, JG)],
+                axis=0)                          # [JG*bank_k, 256] i8
+            rx = lax.dot_general(
+                bank, sh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=i32)      # [xg*NG, STAGE] i32
+            for d in range(min(g.xg, g.ow - x32)):
+                blk = rx[d * NG:(d + 1) * NG, :]
+                # corr[y] = sum_r blk[r, y + JG*(NG-1-r)] (bank groups
+                # are REVERSED so the per-row shift is +JG*r): roll row
+                # r right by JG*r via log2(NG) masked power-of-two
+                # rolls, then one 8-row sublane sum; output lane
+                # y + JG*(NG-1)
+                rr = blk
+                rid = lax.broadcasted_iota(i32, (NG, STAGE), 0)
+                b = 1
+                while b < NG:
+                    rolled = pltpu.roll(rr, JG * b, 1)
+                    rr = jnp.where((rid & b) != 0, rolled, rr)
+                    b *= 2
+                corr_ref[x32 + d, :] = jnp.sum(rr, axis=0)
+        else:
+            rx = lax.dot_general(
+                bank, sl,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=i32)      # [xg*blk, STAGE] i32
+            for d in range(min(g.xg, g.ow - x32)):
+                blk = rx[d * g.blk:(d + 1) * g.blk, :]
+                # corr[y, x32+d] = sum_s blk[s, y + th-1 - s]: one
+                # strided rotate (shift_s = s) + sublane sum; output
+                # lane y + th-1. Rows land in a VMEM scratch ref — a
+                # 64-way concat of single-row vregs would repack
+                # 7/8-empty tiles instead.
+                rr = pltpu.roll(blk, 0, 1, stride=1, stride_axis=0)
+                corr_ref[x32 + d, :] = jnp.sum(rr, axis=0)
     corrT_raw = corr_ref[...][0:g.ow, :]
-    corrT = pltpu.roll(corrT_raw, STAGE - (g.th - 1), 1).astype(f32)
+    corr_off = JG * (NG - 1) if SHEAR else g.th - 1
+    corrT = pltpu.roll(corrT_raw, STAGE - corr_off, 1).astype(f32)
 
     # ---- boxsum of L-128 via a static ones-bank matmul ----
     ob_r = lax.broadcasted_iota(i32, (g.ow_pad, STAGE + 64), 0)
@@ -287,9 +338,28 @@ def _stat_tile(max_val, mx, my):
 
 def _template_bank(template_u8: jnp.ndarray,
                    geom: FrontendGeom) -> jnp.ndarray:
-    """[xg*blk, bank_k] int8 bank: block d (rows d*blk..) holds the
-    row-reversed, -128-shifted template at column offset d:
-    bank[d*blk + s, c] = T[th-1-s, c-d] - 128 (0 off-support)."""
+    """The correlation bank for the active formulation (SHEAR knob).
+
+    Strided-rotate form: [xg*blk, bank_k] int8, block d (rows d*blk..)
+    holds the row-reversed, -128-shifted template at column offset d:
+    bank[d*blk + s, c] = T[th-1-s, c-d] - 128 (0 off-support).
+
+    Shear form: [xg*NG, JG*bank_k] int8, K-order (j, c) j-major; row
+    (d, r) holds template-row GROUP (NG-1-r) at column offset d:
+    bank[d*NG + r, j*bank_k + c] = T[JG*(NG-1-r) + j, c-d] - 128.
+    Groups are reversed so the epilogue's per-row shift is +JG*r."""
+    if SHEAR:
+        tz = jnp.pad(
+            (template_u8.astype(jnp.int32) - 128).astype(jnp.int8),
+            ((0, JG * NG - geom.th), (0, 0)))      # [128, tw]
+        tr = tz.reshape(NG, JG, geom.tw)[::-1]     # group-reversed
+        blocks = [
+            jnp.pad(tr, ((0, 0), (0, 0),
+                         (d, geom.bank_k - geom.tw - d)))
+            .reshape(NG, JG * geom.bank_k)
+            for d in range(geom.xg)
+        ]
+        return jnp.concatenate(blocks, axis=0)
     t_rev = (template_u8[::-1].astype(jnp.int32) - 128).astype(jnp.int8)
     blocks = [
         jnp.pad(t_rev, ((0, geom.blk - geom.th),
@@ -364,8 +434,7 @@ def frontend_pallas(
             in_specs=[
                 pl.BlockSpec((STAGE, STAGE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((geom.xg * geom.blk, geom.bank_k),
-                             lambda i: (0, 0),
+                pl.BlockSpec(tuple(bank.shape), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -449,8 +518,7 @@ def frontend_windows_pallas(
             in_specs=[
                 pl.BlockSpec((STAGE, STAGE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((geom.xg * geom.blk, geom.bank_k),
-                             lambda i: (0, 0),
+                pl.BlockSpec(tuple(bank.shape), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((64, 256), lambda i: (0, 0),
