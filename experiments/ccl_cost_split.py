@@ -4,7 +4,15 @@ Times propagate_quads on inputs of increasing convergence depth —
 empty masks (1 pass each phase), corpus-like blobs, dense noise — with
 a hoist-proof harness (bits XORed with the loop index would corrupt
 the packing, so instead the window content is jnp.roll'ed by the loop
-index: same mask population per iteration, no CSE)."""
+index: same mask population per iteration, no CSE).
+
+ROUND-5 CAVEAT (docs/performance.md, measurement discipline): the
+harness BODY — the batch roll plus the okey/conv reduces — costs
+0.394 ms/256 BY ITSELF (measured with the kernel deleted), so the
+absolute numbers here overstate the kernel by that constant; only
+DELTAS between runs of this same harness are clean. The true shipping
+kernel costs are ~(printed - 0.39). Stage-level attribution lives in
+experiments/ccl_floor_anatomy.py."""
 import sys
 import time
 

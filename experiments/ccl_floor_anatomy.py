@@ -70,6 +70,31 @@ def kernel_variant(bits_ref, okey_ref, conv_ref, *, stage, grp=GQ,
     def reduce_eq(eq):
         return jnp.min(eq.reshape(grp, W, lanes), axis=1)
 
+    if stage == "unpack":
+        okey_ref[...] = masked.astype(i32) + disk_b.astype(i32) + idx
+        conv_ref[...] = jnp.zeros((grp, 128), i32)
+        return
+    if stage == "trans":
+        d = masked.astype(i32)
+        tr_row = jnp.where(lane >= i32(1),
+                           d ^ C._shift_prev(d, 1, 1, S), i32(0))
+        tr_col = jnp.where(sub >= i32(1),
+                           d ^ C._shift_prev(d, 1, 0, S), i32(0))
+        okey_ref[...] = tr_row + tr_col + idx
+        conv_ref[...] = jnp.zeros((grp, 128), i32)
+        return
+    if stage == "ridvpu":
+        d = masked.astype(i32)
+        tr_row = jnp.where(lane >= i32(1),
+                           d ^ C._shift_prev(d, 1, 1, S), i32(0))
+        tr_col = jnp.where(sub >= i32(1),
+                           d ^ C._shift_prev(d, 1, 0, S), i32(0))
+        fr = C._blk_scan(tr_row, 1, False, jnp.add, S, sub, lane)
+        fc = C._blk_scan(tr_col, 0, False, jnp.add, S, sub, lane)
+        okey_ref[...] = fr + fc
+        conv_ref[...] = jnp.zeros((grp, 128), i32)
+        return
+
     rids = C._make_transition_rids(masked, S, sub, lane)
     if stage == "rids":
         acc = jnp.zeros((S, lanes), i32)
@@ -105,7 +130,7 @@ def kernel_variant(bits_ref, okey_ref, conv_ref, *, stage, grp=GQ,
         redl = reduce_eq(jnp.where(masked, eq, i32(1)))
         redo = reduce_eq(jnp.where(masked, i32(1), eq))
         okey_ref[...] = v2
-        conv_ref[...] = jnp.minimum(redl, redo)
+        conv_ref[...] = jnp.minimum(redl, redo)[:, :128]
         return
 
     field, red_lab, red_out = C._run_lockstep_pairs(
@@ -120,7 +145,7 @@ def kernel_variant(bits_ref, okey_ref, conv_ref, *, stage, grp=GQ,
 
     if stage == "nofill":
         okey_ref[...] = field
-        conv_ref[...] = jnp.minimum(red_lab, red_out)
+        conv_ref[...] = jnp.minimum(red_lab, red_out)[:, :128]
         return
 
     def fill_pass(own):
@@ -134,7 +159,7 @@ def kernel_variant(bits_ref, okey_ref, conv_ref, *, stage, grp=GQ,
     if stage == "noepi":
         okey_ref[...] = owner
         conv_ref[...] = jnp.minimum(
-            jnp.minimum(red_lab, red_out), red_fill)
+            jnp.minimum(red_lab, red_out), red_fill)[:, :128]
         return
     raise AssertionError(stage)
 
@@ -194,15 +219,13 @@ def timed(stage, bits_np, use_full=False):
 
 
 if __name__ == "__main__":
-    for kind in ("empty", "blobs"):
+    for kind in ("blobs",):
         bits_np = make(kind)
         print(f"-- {kind} --", flush=True)
         prev = 0.0
-        for stage in ("rids", "pair1", "pair1c", "nofill", "noepi"):
+        for stage in ("unpack", "trans", "ridvpu", "rids", "pair1"):
             t = timed(stage, bits_np)
             print(f"  {stage:7s}: {t:6.3f} ms/256 (+{t - prev:6.3f})",
                   flush=True)
             prev = t
-        t = timed("full", bits_np, use_full=True)
-        print(f"  full   : {t:6.3f} ms/256 (+{t - prev:6.3f})",
-              flush=True)
+
