@@ -157,6 +157,8 @@ def main() -> None:
         # parity-proven in the same driver-captured run
         check_golden_coef(dec, params, files, GOLDEN1)
         record["golden_coef"] = True
+        record["coef_wire_bytes_per_frame"] = coef_wire_bytes(
+            dec, params, files)
         bh_rate = device_rate_with_backhalf(dec, params, files)
         record["device_incl_jpeg_backhalf_img_s"] = round(bh_rate, 1)
         record["host_feed_cores_per_chip_backhalf"] = round(
@@ -306,6 +308,22 @@ def check_golden_coef(dec, params, files, golden_path,
         f"diverge from {golden_path} — not benching an off-parity "
         f"production path; first: "
         f"{bad[0] if bad else (len(got), len(golden))}")
+
+
+def coef_wire_bytes(dec, params, files, frame_wh=(480, 640)) -> int:
+    """Per-frame H2D bytes of the coefficient feed's plane arrays (the
+    compact 12-bit wire when METERELF_COEF_COMPACT=1, dense i16
+    otherwise) — the number the multi-chip-host scaling wall rides on
+    (VERDICT r4 weak #4)."""
+    from meterelf_tpu.io import jpeg as jio
+    from meterelf_tpu.pipeline.decode import make_coef_decode_fn
+
+    _step, _win, pad_hw = make_coef_decode_fn(dec, frame_wh)
+    feed = jio.load_coef_feed(
+        [open(files[0], "rb").read()], params.meter_rect, frame_wh,
+        pad_hw, num_threads=1)
+    cy, cb, cr = feed[0], feed[1], feed[2]
+    return int(cy[0].nbytes + cb[0].nbytes + cr[0].nbytes)
 
 
 def replay_rate(dec, crops_c, ok_c) -> float:
@@ -555,7 +573,7 @@ def device_rate_with_backhalf(dec, params, files):
     @jax.jit
     def replay(cy, cb, cr, qt, ok, fbp, fbi):
         def body(i):
-            cyx = cy.at[:, 0, 0].set(cy[:, 0, 0] ^ i.astype(jnp.int16))
+            cyx = cy.at[:, 0, 0].set(cy[:, 0, 0] ^ i.astype(cy.dtype))
             r = step(pa_dev, cyx, cb, cr, qt, ok, fbp, fbi)
             return r.value.sum() + r.err.sum().astype(r.value.dtype)
         return lax.map(body, jnp.arange(REPS, dtype=jnp.int32)).sum()

@@ -1711,6 +1711,10 @@ typedef struct {
     int16_t *coefCr;
     uint16_t *qt;             /* N * 3*64 */
     int *ok;                  /* N: 0 = success (else caller falls back) */
+    int8_t *cmpY, *cmpCb, *cmpCr; /* compact wire outputs (NULL = off):
+                                    * per frame, plane lo8 rows followed
+                                    * by the row-pair nibble rows —
+                                    * [rows*3/2, cols] int8 */
     int lbx0, lby0, lbw, lbh;
     int exp_w, exp_h;
     int plane;                /* 1 = frequency-plane output layout */
@@ -1718,6 +1722,37 @@ typedef struct {
     int next;
     pthread_mutex_t lock;
 } mej_coef_job;
+
+/* Compact wire format (round-5 H2D work): coefficient v ships as
+ * lo = v & 0xFF (int8) plus a 4-bit hi part, row-PAIR packed two
+ * nibbles per byte (hi row r holds plane rows 2r | 2r+1 << 4).
+ * sign-extend-12(hi << 8 | lo) reconstructs v exactly for the full
+ * baseline-JPEG coefficient range [-2047, 2047]; a stream pushing the
+ * unclamped DC predictor beyond +-2048 (not producible by a conforming
+ * encoder) is detected here and routed to the pixel-fallback path.
+ * Runs per frame right after its decode, while the plane data is still
+ * cache-hot. Returns nonzero on range overflow. */
+static int mej_compact_plane(const int16_t *src, int rows, int cols,
+                             int8_t *lo, uint8_t *hi)
+{
+    int of = 0;
+    for (int r = 0; r < rows; r += 2) {
+        const int16_t *s0 = src + (size_t)r * cols;
+        const int16_t *s1 = s0 + cols;
+        int8_t *l0 = lo + (size_t)r * cols;
+        int8_t *l1 = l0 + cols;
+        uint8_t *h = hi + (size_t)(r >> 1) * cols;
+        for (int c = 0; c < cols; c++) {
+            int v0 = s0[c], v1 = s1[c];
+            of |= ((v0 + 2048) | (v1 + 2048)) & ~4095;
+            l0[c] = (int8_t)(v0 & 255);
+            l1[c] = (int8_t)(v1 & 255);
+            h[c] = (uint8_t)(((v0 >> 8) & 15)
+                             | (((v1 >> 8) & 15) << 4));
+        }
+    }
+    return of;
+}
 
 static void *mej_coef_worker(void *arg)
 {
@@ -1730,28 +1765,48 @@ static void *mej_coef_worker(void *arg)
         pthread_mutex_unlock(&job->lock);
         if (i >= job->n)
             break;
+        int16_t *py = job->coefY + (size_t)i * y_stride;
+        int16_t *pb = job->coefCb + (size_t)i * c_stride;
+        int16_t *pr = job->coefCr + (size_t)i * c_stride;
         job->ok[i] = mej_read_coefs_region(
             job->datas[i], job->sizes[i],
             job->lbx0, job->lby0, job->lbw, job->lbh,
             job->exp_w, job->exp_h, job->plane,
-            job->coefY + (size_t)i * y_stride,
-            job->coefCb + (size_t)i * c_stride,
-            job->coefCr + (size_t)i * c_stride,
-            job->qt + (size_t)i * 3 * 64);
+            py, pb, pr, job->qt + (size_t)i * 3 * 64);
+        if (job->cmpY && job->plane && job->ok[i] == 0) {
+            int yr = job->lbh * 8, yc = job->lbw * 8;
+            int cr2 = job->lbh * 4, cc = job->lbw * 4;
+            int8_t *cy8 = job->cmpY + (size_t)i * (y_stride * 3 / 2);
+            int8_t *cb8 = job->cmpCb + (size_t)i * (c_stride * 3 / 2);
+            int8_t *cr8 = job->cmpCr + (size_t)i * (c_stride * 3 / 2);
+            int of = mej_compact_plane(
+                py, yr, yc, cy8, (uint8_t *)(cy8 + y_stride));
+            of |= mej_compact_plane(
+                pb, cr2, cc, cb8, (uint8_t *)(cb8 + c_stride));
+            of |= mej_compact_plane(
+                pr, cr2, cc, cr8, (uint8_t *)(cr8 + c_stride));
+            if (of)
+                job->ok[i] = 1;   /* out of wire range: fallback */
+        }
     }
     return NULL;
 }
 
-void mej_read_coefs_region_batch(const unsigned char *const *datas,
-                                 const unsigned long *sizes, int n,
-                                 int lbx0, int lby0, int lbw, int lbh,
-                                 int exp_w, int exp_h, int plane,
-                                 int16_t *coefY, int16_t *coefCb,
-                                 int16_t *coefCr, uint16_t *qt,
-                                 int *ok, int num_threads)
+void mej_read_coefs_region_batch_compact(
+    const unsigned char *const *datas,
+    const unsigned long *sizes, int n,
+    int lbx0, int lby0, int lbw, int lbh,
+    int exp_w, int exp_h, int plane,
+    int16_t *coefY, int16_t *coefCb,
+    int16_t *coefCr, uint16_t *qt,
+    int *ok, int num_threads,
+    int8_t *cmpY, int8_t *cmpCb, int8_t *cmpCr)
 {
     mej_coef_job job;
     job.plane = plane;
+    job.cmpY = cmpY;
+    job.cmpCb = cmpCb;
+    job.cmpCr = cmpCr;
     job.datas = datas;
     job.sizes = sizes;
     job.coefY = coefY;
@@ -1782,6 +1837,20 @@ void mej_read_coefs_region_batch(const unsigned char *const *datas,
     for (int t = 0; t < num_threads; t++)
         pthread_join(threads[t], NULL);
     pthread_mutex_destroy(&job.lock);
+}
+
+void mej_read_coefs_region_batch(const unsigned char *const *datas,
+                                 const unsigned long *sizes, int n,
+                                 int lbx0, int lby0, int lbw, int lbh,
+                                 int exp_w, int exp_h, int plane,
+                                 int16_t *coefY, int16_t *coefCb,
+                                 int16_t *coefCr, uint16_t *qt,
+                                 int *ok, int num_threads)
+{
+    mej_read_coefs_region_batch_compact(
+        datas, sizes, n, lbx0, lby0, lbw, lbh, exp_w, exp_h, plane,
+        coefY, coefCb, coefCr, qt, ok, num_threads,
+        NULL, NULL, NULL);
 }
 
 /* ------------- raw-u8 region decode (minimal-byte H2D feed) ------------ */

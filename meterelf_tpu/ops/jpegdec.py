@@ -101,6 +101,28 @@ def coef_window(rect: Rect, frame_w: int,
     )
 
 
+def uncompact_plane(arr: jnp.ndarray) -> jnp.ndarray:
+    """Compact wire plane -> dense i16 coefficient plane.
+
+    arr [B, R*3/2, C] int8: rows [0, R) are the lo bytes (v & 0xFF),
+    rows [R, 3R/2) pack the 4-bit hi parts two plane rows per byte
+    (plane row 2r in the low nibble of hi row r, 2r+1 in the high).
+    v = sign-extend-12(hi << 8 | lo) — exact for the legal baseline
+    coefficient range (the host packer routes out-of-range streams to
+    the pixel fallback). Pure elementwise: XLA fuses it into the
+    back-half's first consumers (io/jpeg.read_coefs_batch compact=True
+    is the producer)."""
+    i32 = jnp.int32
+    R = arr.shape[-2] * 2 // 3
+    lo = arr[..., :R, :].astype(i32) & i32(255)
+    hi = arr[..., R:, :].astype(i32) & i32(255)
+    hi2 = jnp.repeat(hi, 2, axis=-2)
+    par = (jnp.arange(R, dtype=i32) & i32(1)).reshape(R, 1)
+    hv = jnp.where(par == 0, hi2 & i32(15), (hi2 >> 4) & i32(15))
+    v = (hv << 8) | lo
+    return ((v << 20) >> 20).astype(jnp.int16)
+
+
 def _descale(x, n: int):
     return (x + (1 << (n - 1))) >> n
 

@@ -322,7 +322,7 @@ def _run_lockstep_pairs(k_lab: int, k_out: int, half_fwd, half_rev,
     return vf, redl, redo
 
 
-def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
+def _ccl_kernel(bits_ref, okey_ref, conv_ref, *okflat_ref,
                 caps=(K_LABEL_HYBRID, K_OUTSIDE_HYBRID, K_FILL),
                 grp=GP, lanes=128, pack_closed=False):
     k_label, k_outside, k_fill = caps
@@ -406,6 +406,22 @@ def _ccl_kernel(bits_ref, okey_ref, conv_ref, *,
                 + masked.astype(i32) * 2 + boundary.astype(i32))
     okey_ref[...] = okey
 
+    if okflat_ref:
+        # round-5 ask #6 A/B: emit the DEQUAD (per-window flat) layout
+        # straight from VMEM as a second output, so the XLA transpose
+        # that feeds the stats kernel disappears. Rows ordered
+        # (image, dial, row): okflat[g*256 + d*64 + r, c] =
+        # okey[g*64 + r, d*64 + c]; each dial's lanes are rotated to
+        # origin first (Mosaic cannot slice at lane offsets).
+        ofr = okflat_ref[0]
+        D = lanes // W
+        for d in range(D):
+            rot = okey if d == 0 else pltpu.roll(
+                okey, lanes - d * W, 1)
+            for g in range(grp):
+                ofr[(g * D + d) * W:(g * D + d) * W + W, :] = (
+                    rot[g * W:(g + 1) * W, 0:W])
+
     # bool multi-reductions don't lower in Mosaic; use i32 min-reduce.
     # per-window convergence bit -> conv_ref lane b for window block b
     red = jnp.minimum(jnp.minimum(red_lab, red_out), red_fill)
@@ -483,8 +499,8 @@ GQ = int(os.environ.get("METERELF_CCL_GQ", "8"))
 
 
 def propagate_quads(bits_quads: jnp.ndarray, *, interpret: bool = False,
-                    caps: tuple | None = None, pack_closed: bool = False
-                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    caps: tuple | None = None, pack_closed: bool = False,
+                    emit_flat: bool = False) -> tuple:
     """Quad-layout propagation: [B, W, 4*W] i32 packed bits (bit 0 =
     masked, bit 1 = disk, bit 2 = closed; the windows kernel's native
     output, ops/pallas_windows.py) -> (okey [B, W, 4*W] i32,
@@ -507,25 +523,36 @@ def propagate_quads(bits_quads: jnp.ndarray, *, interpret: bool = False,
     kernel = functools.partial(
         _ccl_kernel, grp=GQ, lanes=4 * W, pack_closed=pack_closed,
         **({} if caps is None else {"caps": tuple(caps)}))
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp * W, 4 * W), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((GQ * W, 4 * W), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((GQ, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if emit_flat:
+        out_shape.append(
+            jax.ShapeDtypeStruct((Bp * 4 * W, W), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((GQ * 4 * W, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))
     with jax.enable_x64(False):
-        okey, conv = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((Bp * W, 4 * W), jnp.int32),
-                jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
-            ),
+            out_shape=tuple(out_shape),
             grid=(Bp // GQ,),
             in_specs=[
                 pl.BlockSpec((GQ, W, 4 * W), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((GQ * W, 4 * W), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((GQ, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
+            out_specs=tuple(out_specs),
             interpret=interpret,
         )(bits_quads)
-    return (okey.reshape(Bp, W, 4 * W)[:B],
-            (conv[:B, :4] != 0))
+    okey, conv = outs[0], outs[1]
+    res = (okey.reshape(Bp, W, 4 * W)[:B], (conv[:B, :4] != 0))
+    if emit_flat:
+        return res + (outs[2].reshape(Bp * 4, W, W)[:B * 4],)
+    return res

@@ -542,6 +542,37 @@ def test_coef_feed_readings_match_pixel_path(sample_dir, rect,
     np.testing.assert_array_equal(res_cf.dial_pos, res_px.dial_pos)
 
 
+def test_compact_wire_roundtrip_and_range():
+    """The compact 12-bit coefficient wire (lo8 + row-pair hi nibbles)
+    must reconstruct every corpus plane bit-exactly, cover the full
+    legal range at the format level, and the host packer must route
+    out-of-range values to the fallback (ok=False)."""
+    import jax.numpy as jnp
+    from meterelf_tpu.ops import jpegdec
+
+    files = sorted(glob.glob(os.path.join(SAMPLE1, "*.jpg")))[:12]
+    datas = [open(f, "rb").read() for f in files]
+    win = jpegdec.coef_window(RECT1, *FRAME_WH)
+    dy, db, dr, qt1, ok1 = jio.read_coefs_batch(
+        datas, win, FRAME_WH, num_threads=2, plane_layout=True)
+    dy, db, dr = dy.copy(), db.copy(), dr.copy()
+    cy, cb, cr, qt2, ok2 = jio.read_coefs_batch(
+        datas, win, FRAME_WH, num_threads=2, plane_layout=True,
+        compact=True)
+    assert cy.dtype == np.int8
+    np.testing.assert_array_equal(ok1, ok2)
+    for dense, cmp_ in ((dy, cy), (db, cb), (dr, cr)):
+        got = np.asarray(jpegdec.uncompact_plane(jnp.asarray(cmp_)))
+        np.testing.assert_array_equal(got[ok1], dense[ok1])
+    # format-level range check: +-2047 survives the numpy emulation of
+    # the C packer exactly (sign-extend-12(hi << 8 | lo))
+    v = np.arange(-2047, 2048, dtype=np.int16)
+    lo = (v & 255).astype(np.int8).astype(np.int32) & 255
+    hi = ((v.astype(np.int32) >> 8) & 15)
+    rec = (((hi << 8) | lo) << 20) >> 20
+    np.testing.assert_array_equal(rec, v.astype(np.int32))
+
+
 def test_pallas_tail_matches_xla_tail():
     """The fused upsample+color+pack kernel (ops/pallas_jpeg.py) must be
     bit-identical to the XLA tail on real corpus planes (interpret mode
