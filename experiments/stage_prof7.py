@@ -60,11 +60,13 @@ def stage(upto, pa, pk):
                              pa.hue_shift, origins, centers)
     if upto == 1:
         return bits.sum().astype(jnp.float32) + max_val.sum()
-    okey_q, conv_q = propagate_quads(bits, pack_closed=True)
+    # mirrors the shipping _CCL_DEQUAD=1 path: the kernel emits the
+    # flat layout for the stats kernel itself
+    okey_q, conv_q, okey_kflat = propagate_quads(
+        bits, pack_closed=True, emit_flat=True)
     if upto == 2:
         return okey_q.sum().astype(jnp.float32) + max_val.sum()
-    okey_f = (okey_q.reshape(B, W, D, W).transpose(0, 2, 1, 3)
-              .reshape(B * D, W * W))
+    okey_f = okey_kflat.reshape(B * D, W * W)
     keymax, hasany_f = pallas_stats.stats_select_fused(okey_f)
     if upto == 3:
         return (keymax.sum().astype(jnp.float32)

@@ -94,6 +94,77 @@ def render_overlay(
     return out_path
 
 
+def serve_overlays(params: Params, latest_fn: "Callable[[], object]",
+                   port: int, scale: int = 4) -> "object":
+    """Live debug viewer: a daemon-thread HTTP server rendering the
+    overlay of the CURRENT frame on demand.
+
+    The reference's DEBUG affordance is interactive cv2.imshow windows
+    behind an X11 docker wrapper (meterelf/_reading.py:43-78,
+    docker-run-with-x11:20-28) — unusable on a headless meter server.
+    This is the server-shaped equivalent: `--debug-http PORT` on the
+    stream daemon serves an auto-refreshing page at
+    http://host:PORT/ whose image is render_overlay() of the most
+    recently processed frame. Overlays render lazily per request, so
+    an unwatched stream pays nothing.
+
+    latest_fn: zero-arg callable returning the newest processed
+    filename (or None). Returns the ThreadingHTTPServer (its bound
+    port is server_address[1]; shut down with .shutdown())."""
+    import html
+    import http.server
+    import os as _os
+    import tempfile
+    import threading
+    import time as _time
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a) -> None:  # quiet
+            pass
+
+        def _send(self, code: int, ctype: str, body: bytes) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:
+            if self.path.startswith("/frame.png"):
+                fn = latest_fn()
+                data = b""
+                if fn and _os.path.exists(str(fn)):
+                    with tempfile.TemporaryDirectory() as td:
+                        p = render_overlay(str(fn), params, td,
+                                           scale=scale)
+                        if p:
+                            with open(p, "rb") as fp:
+                                data = fp.read()
+                if not data:
+                    self._send(404, "text/plain", b"no frame yet")
+                    return
+                self._send(200, "image/png", data)
+                return
+            fn = latest_fn()
+            name = (html.escape(_os.path.basename(str(fn)))
+                    if fn else "(no frame yet)")
+            body = (
+                "<html><head><meta http-equiv='refresh' content='2'>"
+                "<title>meterelf live debug</title></head>"
+                "<body style='background:#111;color:#dfe3e8;"
+                "font-family:monospace'>"
+                f"<div style='margin:8px'>{name}</div>"
+                f"<img src='/frame.png?t={_time.time()}' "
+                "style='image-rendering:pixelated'>"
+                "</body></html>").encode()
+            self._send(200, "text/html", body)
+
+    srv = http.server.ThreadingHTTPServer(("", port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
 def render_masks(params: Params, out_dir: str, scale: int = 4) -> list:
     """The ``masks`` DEBUG mode: one PNG per dial showing the full needle
     mask (gray) with the tip annulus highlighted (white) — the headless

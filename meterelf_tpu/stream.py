@@ -693,9 +693,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     poll_s = 2.0
     idle_exit: Optional[int] = None
     feed_workers = 0
+    debug_http: Optional[int] = None
     for flag in ("--repeat", "--batch", "--trace", "--coef", "--mesh",
                  "--watch", "--state", "--poll", "--watch-idle-exit",
-                 "--feed-workers"):
+                 "--feed-workers", "--debug-http"):
         if flag in args:
             i = args.index(flag)
             val = args[i + 1]
@@ -719,6 +720,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 idle_exit = int(val)
             elif flag == "--feed-workers":
                 feed_workers = int(val)
+            elif flag == "--debug-http":
+                debug_http = int(val)
             else:
                 trace_dir = val
     if len(args) < (1 if watch_dir else 2):
@@ -726,7 +729,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
               "IMAGE_FILE... [--repeat N] [--batch B] [--trace DIR] "
               "[--coef WxH [--feed-workers N]] [--mesh N|all] "
               "[--watch DIR [--poll S] [--watch-idle-exit K]] "
-              "[--state FILE]",
+              "[--state FILE] [--debug-http PORT]",
               file=sys.stderr)
         raise SystemExit(1)
     mesh = None
@@ -767,6 +770,24 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             timestamps = [t + r * span
                           for r in range(repeat) for t in ts0]
         frames = (fr for _r in range(repeat) for fr in names_iterable)
+    if debug_http is not None:
+        # live debug viewer (the reference's imshow affordance, reshaped
+        # for a headless daemon): track the newest processed frame and
+        # serve its overlay at http://host:PORT/ (debugviz.serve_overlays)
+        from .debugviz import serve_overlays
+
+        _latest = {"fn": None}
+
+        def _tracked(it, _latest=_latest):
+            for fn, payload in it:
+                if payload is not None:
+                    _latest["fn"] = fn
+                yield fn, payload
+
+        frames = _tracked(frames)
+        srv = serve_overlays(params, lambda: _latest["fn"], debug_http)
+        print(f"debug viewer: http://localhost:"
+              f"{srv.server_address[1]}/", file=sys.stderr)
     timers = (StageTimers()
               if os.environ.get("METERELF_PROFILE") == "1" else None)
     st = load_state(state_path) if state_path else None

@@ -108,3 +108,33 @@ def test_device_trace_noop():
 
     with device_trace(None):
         pass
+
+
+@pytest.mark.needs_samples
+def test_serve_overlays_live_viewer(params1):
+    """The live debug HTTP viewer (--debug-http): the index page
+    auto-refreshes and /frame.png serves the current frame's overlay;
+    with no frame yet, /frame.png 404s gracefully."""
+    import urllib.request
+
+    from meterelf_tpu.debugviz import serve_overlays
+
+    holder = {"fn": None}
+    srv = serve_overlays(params1, lambda: holder["fn"], 0, scale=1)
+    port = srv.server_address[1]
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read()
+        assert b"no frame yet" in html
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/frame.png", timeout=10)
+        holder["fn"] = sorted(glob(f"{SAMPLE1}/*.jpg"))[2]
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.png", timeout=60).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read()
+        assert os.path.basename(holder["fn"]).encode() in html
+    finally:
+        srv.shutdown()
