@@ -33,9 +33,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_TARGET = 5000.0  # img/s/chip, BASELINE.json north_star
-# B=256 is the measured v5e sweet spot: 34.4k img/s vs 32.6k at 512 and
-# 33.8k at 128 (VMEM pressure vs dispatch amortization; swept 128-2048)
-BATCH = int(os.environ.get("METERELF_BENCH_BATCH", "256"))
+# B=384 is the round-5 sweet spot for the shear+dequad kernel mix:
+# interleaved sweep 75,631/75,408/75,517 at 384 vs 74,960/75,196/75,072
+# at 256, 72,694 at 512, 68,732 at 320 (v5e 2026-08-21; B=256 had been
+# the sweet spot for the round 2-4 kernels)
+BATCH = int(os.environ.get("METERELF_BENCH_BATCH", "384"))
 REPLAY_FRAMES = (10240 // BATCH) * BATCH if BATCH > 512 else 10240
 SAMPLE1 = "/root/reference/sample-images1"
 GOLDEN1 = "/root/reference/integration-tests/test_all_sample_images.expected_stdout"
@@ -159,8 +161,18 @@ def main() -> None:
         record["golden_coef"] = True
         record["coef_wire_bytes_per_frame"] = coef_wire_bytes(
             dec, params, files)
-        bh_rate = device_rate_with_backhalf(dec, params, files)
+        # chip capacity on the DENSE i16 feed (comparable across
+        # rounds) AND on the compact production wire: the 12-bit wire
+        # trades ~17% device rate for 25% fewer H2D bytes — the right
+        # side of that trade depends on whether the deployment is
+        # link-bound (multi-chip host) or device-bound, so both are
+        # recorded (docs/performance.md round-5 wire notes)
+        bh_rate = device_rate_with_backhalf(dec, params, files,
+                                            compact=False)
         record["device_incl_jpeg_backhalf_img_s"] = round(bh_rate, 1)
+        record["device_incl_jpeg_backhalf_img_s_compact"] = round(
+            device_rate_with_backhalf(dec, params, files, compact=True),
+            1)
         record["host_feed_cores_per_chip_backhalf"] = round(
             bh_rate / per_core, 1)
         record["fused_tail"] = _fused_tail_flag(dec, params)
@@ -180,7 +192,8 @@ def main() -> None:
         # the fully fused Pallas back-half too — fused_tail_camera2
         # records the engaged path for the judge
         record["camera2_incl_jpeg_backhalf_img_s"] = round(
-            device_rate_with_backhalf(dec2, params2, files2), 1)
+            device_rate_with_backhalf(dec2, params2, files2,
+                                      compact=False), 1)
         record["fused_tail_camera2"] = _fused_tail_flag(dec2, params2)
     print(json.dumps(record))
 
@@ -540,7 +553,7 @@ def entropy_sweep_main(pad_hw, frames: int) -> None:
     print(json.dumps(out))
 
 
-def device_rate_with_backhalf(dec, params, files):
+def device_rate_with_backhalf(dec, params, files, compact=None):
     """Chip capacity when the graph ALSO finishes the JPEG (coefficient
     feed): corpus coefficient windows staged once, replayed as one
     lax.map dispatch (same floor-amortization rules as the headline
@@ -564,7 +577,7 @@ def device_rate_with_backhalf(dec, params, files):
     reps_b = -(-BATCH // len(datas))
     feed = jio.load_coef_feed(
         (datas * reps_b)[:BATCH], params.meter_rect, (480, 640), pad_hw,
-        num_threads=os.cpu_count() or 1)
+        num_threads=os.cpu_count() or 1, compact=compact)
     cy, cb, cr, qt, ok, fbp, fbi = [jax.device_put(a) for a in feed]
     pa_dev = jax.device_put(dec.param_arrays)
     jax.block_until_ready((cy, pa_dev))

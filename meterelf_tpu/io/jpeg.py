@@ -493,6 +493,7 @@ def load_coef_feed(
     pad_hw: Tuple[int, int],
     fb_slots: int = 8,
     num_threads: int = 2,
+    compact: "bool | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
            np.ndarray, np.ndarray, np.ndarray]:
     """The production host feed: entropy-decode every frame's DCT
@@ -518,7 +519,7 @@ def load_coef_feed(
     plane = jpegdec.fused_tail_ok(win, tuple(pad_hw))
     return load_coef_feed_shard(
         datas, tuple(win), plane, meter_rect, frame_wh, pad_hw,
-        fb_slots=fb_slots, num_threads=num_threads)
+        fb_slots=fb_slots, num_threads=num_threads, compact=compact)
 
 
 def load_coef_feed_shard(
@@ -530,6 +531,7 @@ def load_coef_feed_shard(
     pad_hw: Tuple[int, int],
     fb_slots: int = 8,
     num_threads: int = 1,
+    compact: "bool | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
            np.ndarray, np.ndarray, np.ndarray]:
     """load_coef_feed with the window geometry and layout choice
@@ -540,9 +542,11 @@ def load_coef_feed_shard(
     from ..ops.jpegdec import CoefWindow as _CW  # NamedTuple only: no jax
 
     win = _CW(*win_tuple)
+    if compact is None:
+        compact = _COEF_COMPACT
     cy, cb, cr, qt, ok = read_coefs_batch(
         datas, win, frame_wh, num_threads=num_threads,
-        plane_layout=plane, compact=plane and _COEF_COMPACT)
+        plane_layout=plane, compact=plane and compact)
     load_ok = ok.copy()
     fb_idx = np.full(fb_slots, len(datas), np.int32)
     fb_packed = np.zeros((fb_slots, pad_hw[0], pad_hw[1]), np.int32)

@@ -398,8 +398,15 @@ def backhalf_planes_to_packed(
     the block-layout XLA graph via an in-graph relayout. Bit-identical
     either way (tests/test_jpegdec.py)."""
     if fused_tail_ok(win, pad_hw):
+        # compact (i8) wire planes pass straight through: the fused
+        # kernel unpacks them in VMEM (ops/pallas_jpeg._unpack_compact),
+        # so the dense i16 planes never touch HBM
         from .pallas_jpeg import fused_backhalf_planes
         return fused_backhalf_planes(fy, fcb, fcr, qt, win, pad_hw)
+    if fy.dtype == jnp.int8:
+        fy = uncompact_plane(fy)
+        fcb = uncompact_plane(fcb)
+        fcr = uncompact_plane(fcr)
     cbh, cbw = win.lbh // 2, win.lbw // 2
     return backhalf_to_packed(
         _plane_to_blocks(fy, win.lbh, win.lbw),

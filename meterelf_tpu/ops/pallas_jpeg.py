@@ -222,12 +222,33 @@ def _tile_qt(q8, rows: int, lanes: int):
     return t[:, :lanes]
 
 
+def _unpack_compact(arr_i8) -> jnp.ndarray:
+    """Compact wire plane [R*3/2, L] i8 -> [R, L] i32 coefficients,
+    in-kernel (ops/jpegdec.uncompact_plane semantics: lo rows then
+    row-pair hi nibbles).
+
+    Converts to i32 first so the row slices land on 8-sublane tiles,
+    then interleaves the pre-selected nibbles with the stack+reshape
+    sublane interleave — no parity select needed. (A bitcast-based
+    byte-stream split with a 3-level re-interleave measured SLOWER:
+    40.8k vs 45.4k back-half img/s — the interleave cascade costs more
+    than Mosaic's i8->i32 expansion relayout.)"""
+    i32 = jnp.int32
+    a = arr_i8.astype(i32)
+    R = a.shape[0] * 2 // 3
+    lo = a[0:R, :] & i32(255)
+    hi8 = a[R:, :] & i32(255)                   # [R//2, L]
+    hv = _interleave_sublanes(hi8 & i32(15), (hi8 >> 4) & i32(15))
+    v = (hv << 8) | lo
+    return (v << 20) >> 20
+
+
 def _fused_kernel(fy_ref, fcb_ref, fcr_ref, qt_ref,
                   a1y_lo_ref, a1y_hi_ref, a1c_lo_ref, a1c_hi_ref,
                   b_lo_ref, b_hi_ref, out_ref, *,
                   oy: int, ox: int, rh: int, rw: int,
                   ch_valid: int, cw_valid: int, ph: int, pw: int,
-                  grp: int):
+                  grp: int, compact: bool = False):
     i32 = jnp.int32
     row = lax.broadcasted_iota(i32, (ph, pw), 0)
     lane = lax.broadcasted_iota(i32, (ph, pw), 1)
@@ -236,15 +257,25 @@ def _fused_kernel(fy_ref, fcb_ref, fcr_ref, qt_ref,
     a1c = (a1c_lo_ref[...], a1c_hi_ref[...])
     bmat = (b_lo_ref[...], b_hi_ref[...])
     for g in range(grp):
-        lh, lw = fy_ref.shape[1:]
-        ch, cw = fcb_ref.shape[1:]
+        if compact:
+            fyg = _unpack_compact(fy_ref[g])
+            fcg = jnp.concatenate(
+                [_unpack_compact(fcb_ref[g]),
+                 _unpack_compact(fcr_ref[g])], axis=1)
+            lh, lw = fyg.shape
+            ch, cw = fyg.shape[0] // 2, fcb_ref.shape[2]
+        else:
+            fyg = fy_ref[g].astype(i32)
+            fcg = jnp.concatenate([fcb_ref[g], fcr_ref[g]],
+                                  axis=1).astype(i32)
+            lh, lw = fy_ref.shape[1:]
+            ch, cw = fcb_ref.shape[1:]
         qt = qt_ref[g].astype(i32)                        # [24, 128]
         qy = _tile_qt(qt[0:8], lh, lw)
         qc = jnp.concatenate([_tile_qt(qt[8:16], ch, cw),
                               _tile_qt(qt[16:24], ch, cw)], axis=1)
-        fy = fy_ref[g].astype(i32) * qy                   # dequant
-        fc = jnp.concatenate([fcb_ref[g], fcr_ref[g]],
-                             axis=1).astype(i32) * qc     # [CH, 2CW]
+        fy = fyg * qy                                     # dequant
+        fc = fcg * qc                                     # [CH, 2CW]
         ws_y = _descale(_limb_matmul(fy, *a1y, left=True), 11)
         ws_c = _descale(_limb_matmul(fc, *a1c, left=True), 11)
         ws = jnp.concatenate([ws_y, ws_c], axis=0)        # [LH+CH, LW]
@@ -290,13 +321,18 @@ def fused_backhalf_planes(fy: jnp.ndarray, fcb: jnp.ndarray,
     in _color_pack_aligned. The former oy/lw alignment gates (which
     excluded the second shipped camera, oy=14 lw=240) are gone; callers
     still gate on jpegdec.fused_tail_ok for platform + size."""
+    compact = fy.dtype == jnp.int8      # 12-bit wire (io/jpeg compact)
     B, lh, lw = fy.shape
+    if compact:
+        lh = lh * 2 // 3                # true plane rows
     ph, pw = pad_hw
     L = _lane_target(lw, pw)
     fy = _pad_lanes(fy, L)
     fcb = _pad_lanes(fcb, L // 2)
     fcr = _pad_lanes(fcr, L // 2)
     ch, cw = fcb.shape[1:]
+    if compact:
+        ch = ch * 2 // 3
     if not (win.oy + win.rh <= lh and win.ox + win.rw <= lw):
         raise ValueError(
             f"crop exceeds the decoded window (win={win}); the "
@@ -318,7 +354,7 @@ def fused_backhalf_planes(fy: jnp.ndarray, fcb: jnp.ndarray,
     kernel = functools.partial(
         _fused_kernel, oy=win.oy, ox=win.ox, rh=win.rh, rw=win.rw,
         ch_valid=win.ch_valid, cw_valid=win.cw_valid, ph=ph, pw=pw,
-        grp=grp)
+        grp=grp, compact=compact)
     const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         out = pl.pallas_call(
@@ -326,11 +362,14 @@ def fused_backhalf_planes(fy: jnp.ndarray, fcb: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct((Bp, ph, pw), jnp.int32),
             grid=(Bp // grp,),
             in_specs=[
-                pl.BlockSpec((grp, lh, L), lambda i: (i, 0, 0),
+                pl.BlockSpec((grp,) + tuple(fy.shape[1:]),
+                             lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, ch, cw), lambda i: (i, 0, 0),
+                pl.BlockSpec((grp,) + tuple(fcb.shape[1:]),
+                             lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, ch, cw), lambda i: (i, 0, 0),
+                pl.BlockSpec((grp,) + tuple(fcr.shape[1:]),
+                             lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((grp, 24, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),

@@ -525,14 +525,13 @@ def make_coef_decode_fn(dec: "MeterDecoder",
 
     @jax.jit
     def step(pa, cy, cb, cr, qt, ok, fb_packed, fb_idx):
+        cy_shape = tuple(cy.shape[1:])
         if cy.dtype == jnp.int8:
-            # compact 12-bit wire format (io/jpeg compact=True):
-            # reconstruct the dense i16 planes on device — pure
-            # elementwise, fused into the back-half's consumers
-            cy = jpegdec.uncompact_plane(cy)
-            cb = jpegdec.uncompact_plane(cb)
-            cr = jpegdec.uncompact_plane(cr)
-        if tuple(cy.shape[1:]) == plane_shape:
+            # compact 12-bit wire format (io/jpeg compact=True, plane
+            # layout only): backhalf_planes_to_packed unpacks it inside
+            # the fused kernel (or in XLA on the fallback tail)
+            cy_shape = (cy.shape[1] * 2 // 3, cy.shape[2])
+        if cy_shape == plane_shape:
             # frequency-plane feed -> fully fused Pallas back-half
             packed = jpegdec.backhalf_planes_to_packed(
                 cy, cb, cr, qt, win, pad_hw=pad_hw)
