@@ -217,11 +217,6 @@ def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref, geom):
     g = geom
 
     v256 = img_ref[...]
-    # rotate pad built in VMEM (zeros beyond the crop content)
-    v = jnp.concatenate(
-        [jnp.concatenate(
-            [v256, jnp.zeros((H_PAD - STAGE, STAGE), jnp.int32)], axis=0),
-         jnp.zeros((H_PAD, W_PAD - STAGE), jnp.int32)], axis=1)
     b_pl = (v256 & i32(255)).astype(f32)
     g_pl = ((v256 >> 8) & i32(255)).astype(f32)
     r_pl = ((v256 >> 16) & i32(255)).astype(f32)
@@ -320,8 +315,19 @@ def _frontend_core(img_ref, bank_ref, c1_ref, corr_ref, geom):
     mx = sel % i32(g.ow)
 
     # ---- superwindow extraction: rotate rows by my, cols by mx ----
-    rot = pltpu.roll(v, i32(H_PAD) - my, 0)         # row i <- row i+my
-    rot = pltpu.roll(rot, i32(W_PAD) - mx, 1)       # col j <- col j+mx
+    # Rotates run on the [STAGE, STAGE] staging block directly (round 5:
+    # building the [H_PAD, W_PAD] zero pad + rotating it cost ~170 extra
+    # vreg-ops/image). Cells wrapping past the staging edge now carry
+    # image content instead of pad zeros, but every cell downstream
+    # consumers read lies INSIDE the template box (windows are DIAL_WIN
+    # squares clipped into it, params.py win_origin), and consumed <
+    # wrap holds for the whole geometry family: consumed rows i <= th-1
+    # and garbage starts at i = STAGE - my >= STAGE - crop_h + th, so
+    # crop_h <= STAGE suffices (same argument in columns). The sw
+    # CONTRACT is therefore: bit-exact within [0:th, 0:tw], unspecified
+    # beyond (tests/test_ops.py pins it that way).
+    rot = pltpu.roll(v256, i32(STAGE) - my, 0)      # row i <- row i+my
+    rot = pltpu.roll(rot, i32(STAGE) - mx, 1)       # col j <- col j+mx
     return max_val, mx, my, rot[0:SW_H, 0:SW_W]
 
 
