@@ -226,9 +226,20 @@ def check_golden(dec, params, files, crops_c, ok_c, golden_path):
     from meterelf_tpu.cli import format_result
 
     res = dec.decode_numpy(crops_c, ok_c)
+    _assert_lines_match(res, files, params, golden_path,
+                        "not benching a wrong pipeline")
+
+
+def _assert_lines_match(res, files, params, golden_path,
+                        why: str) -> None:
+    """Shared golden-gate tail: render EVERY output line from a decode
+    result (full path in — the match-failure rescore reads the file;
+    basename out — the goldens were recorded with cwd = sample dir)
+    and require byte-equality with the golden stdout."""
+    from meterelf_tpu.api import result_to_data
+    from meterelf_tpu.cli import format_result
+
     golden = open(golden_path).read().splitlines()
-    # full path in (the match-failure rescore reads the file),
-    # basename out (the goldens were recorded with cwd = sample dir)
     got = [
         format_result(
             result_to_data(f, res, i, params)
@@ -238,7 +249,7 @@ def check_golden(dec, params, files, crops_c, ok_c, golden_path):
     bad = [(g, e) for g, e in zip(got, golden) if g != e]
     assert len(got) == len(golden) and not bad, (
         f"{len(bad)} of {len(got)} rendered lines diverge from "
-        f"{golden_path} — not benching a wrong pipeline; first: "
+        f"{golden_path} — {why}; first: "
         f"{bad[0] if bad else (len(got), len(golden))}")
 
 
@@ -308,19 +319,8 @@ def check_golden_coef(dec, params, files, golden_path,
         res = rc if res is None else type(rc)(
             *[np.concatenate([a, b]) for a, b in zip(res, rc)])
     res = type(res)(*[a[:n] for a in res])
-    golden = open(golden_path).read().splitlines()
-    got = [
-        format_result(
-            result_to_data(f, res, i, params)
-            ._replace(filename=os.path.basename(f)))
-        for i, f in enumerate(files)
-    ]
-    bad = [(g, e) for g, e in zip(got, golden) if g != e]
-    assert len(got) == len(golden) and not bad, (
-        f"coefficient feed: {len(bad)} of {len(got)} rendered lines "
-        f"diverge from {golden_path} — not benching an off-parity "
-        f"production path; first: "
-        f"{bad[0] if bad else (len(got), len(golden))}")
+    _assert_lines_match(res, files, params, golden_path,
+                        "not benching an off-parity coefficient feed")
 
 
 def coef_wire_bytes(dec, params, files, frame_wh=(480, 640)) -> int:

@@ -95,7 +95,8 @@ def render_overlay(
 
 
 def serve_overlays(params: Params, latest_fn: "Callable[[], object]",
-                   port: int, scale: int = 4) -> "object":
+                   port: int, scale: int = 4,
+                   host: str = "127.0.0.1") -> "object":
     """Live debug viewer: a daemon-thread HTTP server rendering the
     overlay of the CURRENT frame on demand.
 
@@ -108,9 +109,13 @@ def serve_overlays(params: Params, latest_fn: "Callable[[], object]",
     recently processed frame. Overlays render lazily per request, so
     an unwatched stream pays nothing.
 
-    latest_fn: zero-arg callable returning the newest processed
-    filename (or None). Returns the ThreadingHTTPServer (its bound
-    port is server_address[1]; shut down with .shutdown())."""
+    latest_fn: zero-arg callable returning the newest INGESTED
+    filename (or None) — with a batched stream this can run up to one
+    batch ahead of the printed readings (frames are tracked as the
+    batcher pulls them, not at dispatch). Returns the
+    ThreadingHTTPServer (bound port = server_address[1]; shut down
+    with .shutdown()). Binds 127.0.0.1 by default — the overlays show
+    live camera content."""
     import html
     import http.server
     import os as _os
@@ -160,7 +165,10 @@ def serve_overlays(params: Params, latest_fn: "Callable[[], object]",
                 "</body></html>").encode()
             self._send(200, "text/html", body)
 
-    srv = http.server.ThreadingHTTPServer(("", port), Handler)
+    # localhost-only by default: the overlays expose live camera
+    # frames; the stream CLI advertises the URL as localhost, so bind
+    # exactly that (pass host explicitly to expose deliberately)
+    srv = http.server.ThreadingHTTPServer((host, port), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv
 

@@ -365,7 +365,9 @@ def load_crop_bytes_u8(
     return out, ok_out
 
 
-_ARENA: dict = {}
+import threading as _threading
+
+_ARENA = _threading.local()
 _ARENA_ON = os.environ.get("METERELF_FEED_ARENA", "1") != "0"
 _COEF_COMPACT = os.environ.get("METERELF_COEF_COMPACT", "1") != "0"
                  # compact 12-bit coefficient wire format for the
@@ -379,19 +381,25 @@ def _arena(key: Tuple[str, tuple], dtype) -> np.ndarray:
     Fresh np.zeros per batch costs ~45 us/frame in first-touch page
     faults at the feed's array sizes (~400 KB/frame) — measured +10%
     on the host entropy rate when the buffers persist. Two slots
-    rotate per (name, shape), honoring the feed contract that at most
-    ONE prior batch may still be in flight (the async device_put of
-    the previous chunk) when the next one is assembled. Contents are
-    NOT zeroed — the decoder writes every window block of every ok
-    frame, and read_coefs_batch explicitly zeroes failed frames'
-    slots. METERELF_FEED_ARENA=0 restores fresh allocations."""
+    rotate per (name, shape) PER THREAD (threading.local — concurrent
+    callers never share a buffer), honoring the feed CONTRACT that a
+    caller holds at most ONE prior batch's arrays (the async
+    device_put of the previous chunk) when it requests the next: a
+    result held across two subsequent same-thread calls is silently
+    overwritten — .copy() it or set METERELF_FEED_ARENA=0 for fresh
+    allocations. Contents are NOT zeroed — the decoder writes every
+    window block of every ok frame, and read_coefs_batch explicitly
+    zeroes failed frames' slots."""
     name, shape = key
     if not _ARENA_ON:
         return np.zeros(shape, dtype)
-    slot = _ARENA.get(name)
+    store = getattr(_ARENA, "slots", None)
+    if store is None:
+        store = _ARENA.slots = {}
+    slot = store.get(name)
     if slot is None or slot[0][0].shape != tuple(shape):
         slot = ([np.zeros(shape, dtype), np.zeros(shape, dtype)], [0])
-        _ARENA[name] = slot
+        store[name] = slot
     bufs, idx = slot
     idx[0] ^= 1
     return bufs[idx[0]]
@@ -609,6 +617,6 @@ def pack_crops(crops_u8: np.ndarray,
 
 def frontend_pad_hw() -> Tuple[int, int]:
     """The (H, W) padding the Pallas frontend kernel expects (the
-    canonical [256, 256] staging shape; the rotate pad is built in
-    VMEM inside the kernel)."""
+    canonical [256, 256] staging shape; superwindow rotates run on it
+    directly — ops/pallas_frontend sw-contract comment)."""
     return (256, 256)

@@ -182,8 +182,9 @@ def _prefix_sum(x, axis):
 def _frontend_kernel(img_ref, bank_ref, c1_ref, sw_ref, stat_ref,
                      corr_ref, *, geom):
     """img_ref: [STAGE, STAGE] i32 packed BGR (crop zero padded; the
-    rotate pad to [H_PAD, W_PAD] is built in VMEM — feeding the padded
-    geometry from HBM cost 405 KB/image vs 262 KB).
+    superwindow rotates run on this staging block directly — see the
+    sw-contract comment in _frontend_core; the legacy [H_PAD, W_PAD]
+    shapes survive only as accepted staging aliases).
     bank_ref: [32*blk, bank_k] i8 shifted-template bank. c1_ref: [2] f32
     SMEM = (128 - template_mean, c0 residual — see module docstring).
     sw_ref: [SW_H, SW_W] i32 superwindow. stat_ref: [8, 128] f32."""

@@ -223,11 +223,20 @@ def _decode_batch(
                     sw, disk_quad, pa.color_range, pa.hue_shift,
                     static_win_origin, static_centers)     # [B, W, 4W]
             fused_stats = _QUAD_STATS.startswith("fused")
+            from ..ops import pallas_stats
+            # trace-time static: does the knob-gated pre-sliced i16
+            # stats feed apply? (it consumes okey_q directly, so the
+            # kernel-emitted flat layout would be a dead ~16 MB/batch
+            # output — don't request it then)
+            stats_sliced = (fused_stats and _STATS_SLICED
+                            and static_stats_spans is not None
+                            and pallas_stats.GW
+                            % len(static_stats_spans) == 0)
             okey_kflat = None
-            if fused_stats and _CCL_DEQUAD:
-                # round-5 ask #6 A/B: the CCL kernel emits the flat
-                # per-window layout itself (okey already in VMEM),
-                # replacing the XLA dequad transpose below
+            if fused_stats and _CCL_DEQUAD and not stats_sliced:
+                # round-5: the CCL kernel emits the flat per-window
+                # layout itself (okey already in VMEM), replacing the
+                # XLA dequad transpose below
                 okey_q, conv_q, okey_kflat = propagate_quads(
                     bits, caps=ccl_caps, pack_closed=True,
                     emit_flat=True)
@@ -240,15 +249,13 @@ def _decode_batch(
                         .reshape(B * D, W, W))
 
             if fused_stats:
-                from ..ops import pallas_stats
-                if (static_stats_spans is not None and _STATS_SLICED
-                        and pallas_stats.GW
-                        % len(static_stats_spans) == 0):
-                    # (the GW-divisibility gate mirrors the non-sliced
-                    # fallback: a METERELF_STATS_GW override that does
-                    # not divide by the dial count falls back to the
-                    # full-window feed instead of tripping the kernel's
-                    # trace-time assert)
+                if stats_sliced:
+                    # (the GW-divisibility gate inside stats_sliced
+                    # mirrors the non-sliced fallback: a
+                    # METERELF_STATS_GW override that does not divide
+                    # by the dial count falls back to the full-window
+                    # feed instead of tripping the kernel's trace-time
+                    # assert)
                     # pre-sliced i16 feed: the stats kernel only reads
                     # each dial's disk-row span, so slice those rows
                     # BEFORE the dequad relayout and ship them biased

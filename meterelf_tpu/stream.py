@@ -772,8 +772,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         frames = (fr for _r in range(repeat) for fr in names_iterable)
     if debug_http is not None:
         # live debug viewer (the reference's imshow affordance, reshaped
-        # for a headless daemon): track the newest processed frame and
-        # serve its overlay at http://host:PORT/ (debugviz.serve_overlays)
+        # for a headless daemon): track the newest INGESTED frame (up
+        # to one batch ahead of the printed readings) and serve its
+        # overlay at http://127.0.0.1:PORT/ (debugviz.serve_overlays)
         from .debugviz import serve_overlays
 
         _latest = {"fn": None}
